@@ -1,0 +1,23 @@
+"""FlowDec-TPU: a TPU-native (JAX/XLA/Pallas/pjit) audio-codec postfilter framework.
+
+A from-scratch rebuild of the capabilities of facebookresearch/FlowDec
+(ICLR 2025, https://openreview.net/forum?id=uxDFlPGRLX): a 48 kHz full-band
+general-audio neural codec pipeline consisting of an underlying non-adversarial
+codec (NDAC, a DAC-style residual-VQ codec) and a conditional-flow-matching
+stochastic postfilter operating on amplitude-compressed complex STFT features.
+
+Layout (idiomatic JAX, not a port):
+  ops/       pure-function DSP: STFT/ISTFT, compression, upfirdn, resampling,
+             overlap-add streaming
+  nn/        Flax modules: NCSN++ U-Net backbone and its layers
+  flow/      CFM bridges, SDE closed forms, scan-fused ODE/PC samplers
+  models/    FlowModel / ScoreModel / RegressionModel tasks (train + enhance)
+  codec/     NDAC codec (encoder, RVQ, decoder) in JAX
+  data/      paired-audio dataset and WAV I/O
+  train/     train state (params + EMA), pjit train loops, Orbax checkpoints
+  eval/      SI-SXR, LogSpecMSE and host-side metric wrappers
+  parallel/  device-mesh and sharding helpers
+  losses/    auxiliary finetuning losses (multi-scale STFT / mel / CQT)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,43 @@
+"""Pure-function DSP and resampling ops (L0/L3 of the reference layer map)."""
+
+from flowdec_tpu.ops.compression import compress, decompress
+from flowdec_tpu.ops.chunking import extract_chunks, merge_chunks, plan_chunks
+from flowdec_tpu.ops.padding import normalize_noisy, pad_spec, padded_num_frames, unpad_spec
+from flowdec_tpu.ops.resample import resample
+from flowdec_tpu.ops.stft import StftConfig, get_window, hann_window, istft, stft
+from flowdec_tpu.ops.upfirdn import (
+    conv_downsample_2d,
+    downsample_2d,
+    naive_downsample_2d,
+    naive_upsample_2d,
+    setup_fir_kernel,
+    upfirdn2d,
+    upsample_2d,
+    upsample_conv_2d,
+)
+
+__all__ = [
+    "compress",
+    "decompress",
+    "extract_chunks",
+    "merge_chunks",
+    "plan_chunks",
+    "normalize_noisy",
+    "pad_spec",
+    "padded_num_frames",
+    "unpad_spec",
+    "resample",
+    "StftConfig",
+    "get_window",
+    "hann_window",
+    "istft",
+    "stft",
+    "conv_downsample_2d",
+    "downsample_2d",
+    "naive_downsample_2d",
+    "naive_upsample_2d",
+    "setup_fir_kernel",
+    "upfirdn2d",
+    "upsample_2d",
+    "upsample_conv_2d",
+]

@@ -1,0 +1,197 @@
+"""upfirdn2d (upsample → FIR filter → downsample) and StyleGAN2-style fused
+resampling, as XLA dilated convolutions.
+
+Capability parity with the reference's CUDA kernels
+(/root/reference/flowdec/backbones/ncsnpp_utils/op/upfirdn2d_kernel.cu and the
+exact spec `upfirdn2d_native`, op/upfirdn2d.py:183-224) and with
+up_or_down_sampling.py:84-282. TPU-native design: instead of a hand-written
+device kernel + custom double-backward autograd, upfirdn is expressed as
+`lax.conv_general_dilated` with `lhs_dilation=up`, `window_strides=down`, and
+explicit (possibly negative) padding — XLA tiles it onto the hardware and
+autodiff is free. The 2-D FIR used by NCSN++ ([1,3,3,1] outer product) is
+separable, so we run two cheap 1-D depthwise passes instead of one 4×4.
+
+All functions use NHWC layout (batch, freq, time, channels).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "setup_fir_kernel",
+    "upfirdn2d",
+    "upsample_2d",
+    "downsample_2d",
+    "upsample_conv_2d",
+    "conv_downsample_2d",
+    "naive_upsample_2d",
+    "naive_downsample_2d",
+]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def setup_fir_kernel(k: Sequence[float]) -> np.ndarray:
+    """Normalize a 1-D FIR kernel to unit sum (reference _setup_kernel, 1-D case)."""
+    k = np.asarray(k, dtype=np.float32)
+    assert k.ndim == 1
+    return k / np.sum(k)
+
+
+def _depthwise_conv(
+    x: jax.Array,
+    kernel: jax.Array,  # (kh, kw)
+    *,
+    up: Tuple[int, int],
+    down: Tuple[int, int],
+    pad_h: Tuple[int, int],
+    pad_w: Tuple[int, int],
+) -> jax.Array:
+    """Depthwise cross-correlation with per-axis input dilation/stride/padding."""
+    channels = x.shape[-1]
+    kh, kw = kernel.shape
+    rhs = jnp.broadcast_to(kernel.astype(x.dtype)[:, :, None, None], (kh, kw, 1, channels))
+    return jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=down,
+        padding=(pad_h, pad_w),
+        lhs_dilation=up,
+        dimension_numbers=_DN,
+        feature_group_count=channels,
+    )
+
+
+def upfirdn2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: int = 1,
+    down: int = 1,
+    pad: Tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """Upsample by zero-stuffing, pad, convolve with `kernel`, downsample.
+
+    Exact to the reference spec (upfirdn2d_native): the input is zero-stuffed to
+    H*up (including up-1 trailing zeros), padded by `pad`, *convolved* (i.e.
+    cross-correlated with the flipped kernel), then stride-sliced by `down`.
+    With lhs_dilation the stuffed length is (H-1)*up+1, so the trailing up-1
+    zeros fold into the high-side padding.
+
+    Args:
+        x: NHWC input.
+        kernel: 2-D FIR kernel (kh, kw) — applied identically per channel.
+        up/down: integer resampling factors (same for both spatial axes).
+        pad: (pad0, pad1) applied to both spatial axes; may be negative.
+    """
+    kernel = jnp.flip(jnp.asarray(kernel), (0, 1))  # conv, not correlation
+    pad0, pad1 = pad
+    p = (pad0, pad1 + up - 1)
+    return _depthwise_conv(x, kernel, up=(up, up), down=(down, down), pad_h=p, pad_w=p)
+
+
+def _separable_fir(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
+) -> jax.Array:
+    """Apply :func:`upfirdn2d` with the separable kernel outer(k1d, k1d) as two
+    1-D depthwise passes (H then W) — half the FLOPs of the 2-D form."""
+    k = jnp.asarray(k1d[::-1].copy())  # flip: convolution
+    pad_eff = (pad[0], pad[1] + up - 1)
+    x = _depthwise_conv(
+        x, k[:, None], up=(up, 1), down=(down, 1), pad_h=pad_eff, pad_w=(0, 0)
+    )
+    x = _depthwise_conv(
+        x, k[None, :], up=(1, up), down=(1, down), pad_h=(0, 0), pad_w=pad_eff
+    )
+    return x
+
+
+def upsample_2d(x: jax.Array, k: Sequence[float], factor: int = 2, gain: float = 1.0) -> jax.Array:
+    """FIR-filtered 2× upsampling (reference up_or_down_sampling.py:220-249)."""
+    k1d = setup_fir_kernel(k)
+    # gain*(factor**2) is split evenly between the two separable passes
+    scale = float(np.sqrt(gain) * factor)
+    k1d = k1d * scale
+    p = k1d.shape[0] - factor
+    return _separable_fir(
+        x, k1d, up=factor, down=1, pad=((p + 1) // 2 + factor - 1, p // 2)
+    )
+
+
+def downsample_2d(x: jax.Array, k: Sequence[float], factor: int = 2, gain: float = 1.0) -> jax.Array:
+    """FIR-filtered 2× downsampling (reference up_or_down_sampling.py:252-282)."""
+    k1d = setup_fir_kernel(k) * float(np.sqrt(gain))
+    p = k1d.shape[0] - factor
+    return _separable_fir(x, k1d, up=1, down=factor, pad=((p + 1) // 2, p // 2))
+
+
+def upsample_conv_2d(
+    x: jax.Array,
+    w: jax.Array,  # (kh, kw, in_ch, out_ch) HWIO
+    k: Sequence[float],
+    factor: int = 2,
+    gain: float = 1.0,
+) -> jax.Array:
+    """Fused 2× upsample + 3×3 conv (reference up_or_down_sampling.py:97-166).
+
+    The reference's conv_transpose+weight-shuffle reduces to: cross-correlate
+    the zero-stuffed input with the *original* conv kernel at full padding,
+    then FIR-filter. We express the first step directly with lhs_dilation.
+    """
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    assert kh == kw
+    x = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(factor, factor),
+        dimension_numbers=_DN,
+    )
+    k1d = setup_fir_kernel(k) * float(np.sqrt(gain) * factor)
+    p = (k1d.shape[0] - factor) - (kw - 1)
+    return _separable_fir(
+        x, k1d, up=1, down=1, pad=((p + 1) // 2 + factor - 1, p // 2 + 1)
+    )
+
+
+def conv_downsample_2d(
+    x: jax.Array,
+    w: jax.Array,  # (kh, kw, in_ch, out_ch) HWIO
+    k: Sequence[float],
+    factor: int = 2,
+    gain: float = 1.0,
+) -> jax.Array:
+    """Fused FIR + 3×3 conv with stride 2 (reference up_or_down_sampling.py:169-203)."""
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    assert kh == kw
+    k1d = setup_fir_kernel(k) * float(np.sqrt(gain))
+    p = (k1d.shape[0] - factor) + (kw - 1)
+    x = _separable_fir(x, k1d, up=1, down=1, pad=((p + 1) // 2, p // 2))
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(factor, factor),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=_DN,
+    )
+
+
+def naive_upsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbor upsampling (reference up_or_down_sampling.py:84-88)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, 1, w, 1, c)
+    x = jnp.broadcast_to(x, (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+def naive_downsample_2d(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Mean-pool downsampling (reference up_or_down_sampling.py:91-94)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    return jnp.mean(x, axis=(2, 4))
