@@ -1,0 +1,153 @@
+"""NCSN++ backbone structural/numerical invariants.
+
+The reference has no model tests; these encode its implicit contracts:
+complex-in/complex-out shape preservation, the m_idx==len(modules) wiring
+check (here: construction-time skip bookkeeping), parameter count scale, and
+zero-init of the progressive output convs (init_scale=0 → output ≈ tiny at
+init, dominated by output_layer of near-zero input).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowdec_tpu.nn import (
+    FLOWDEC_FINAL_NO_ATTN,
+    SGMSE_DEFAULT_YCOND,
+    NCSNpp,
+    NCSNppConfig,
+)
+
+B, F, T = 1, 768, 64  # small T to keep CPU tests fast (must be mult of 2^levels)
+
+
+def _complex_inputs(key, f=F, t_frames=T):
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (B, f, t_frames, 2))
+    y = jax.random.normal(ky, (B, f, t_frames, 2))
+    return (
+        jax.lax.complex(x[..., 0], x[..., 1]),
+        jax.lax.complex(y[..., 0], y[..., 1]),
+    )
+
+
+@pytest.fixture(scope="module")
+def flowdec_model():
+    model = NCSNpp(FLOWDEC_FINAL_NO_ATTN)
+    x, y = _complex_inputs(jax.random.PRNGKey(0))
+    t = jnp.full((B,), 0.5)
+    params = model.init(jax.random.PRNGKey(1), x, y, t)
+    return model, params
+
+
+def test_forward_shape_dtype(flowdec_model):
+    model, params = flowdec_model
+    x, y = _complex_inputs(jax.random.PRNGKey(2))
+    t = jnp.full((B,), 0.3)
+    out = model.apply(params, x, y, t)
+    assert out.shape == (B, F, T)
+    assert jnp.iscomplexobj(out)
+    assert np.all(np.isfinite(np.asarray(out.real)))
+
+
+def test_scalar_t_accepted(flowdec_model):
+    model, params = flowdec_model
+    x, y = _complex_inputs(jax.random.PRNGKey(2))
+    out = model.apply(params, x, y, jnp.asarray(0.5))
+    assert out.shape == (B, F, T)
+
+
+def test_param_count_75m_scale(flowdec_model):
+    """ncsnpp_final_no_attn (nf=64, ch_mult=[4,4,4,2]) ~ the 25-75M family."""
+    _, params = flowdec_model
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 20e6 < n < 80e6, f"param count {n} out of expected range"
+
+
+def test_near_zero_output_at_init(flowdec_model):
+    """init_scale=0 zero-inits the progressive output convs, so the pyramid is
+    ~0 at init and output_layer sees ~0 input (reference training stability
+    property inherited from score_sde)."""
+    model, params = flowdec_model
+    x, y = _complex_inputs(jax.random.PRNGKey(3))
+    out = model.apply(params, x, y, jnp.full((B,), 0.7))
+    assert float(jnp.max(jnp.abs(out))) < 1e-4
+
+
+def test_t_conditioning_changes_output(flowdec_model):
+    model, params = flowdec_model
+    x, y = _complex_inputs(jax.random.PRNGKey(4))
+    o1 = model.apply(params, x, y, jnp.full((B,), 0.1))
+    o2 = model.apply(params, x, y, jnp.full((B,), 0.9))
+    # even at near-zero init the fourier-temb path must flow to the output
+    # through resblock biases; use a trained-ish perturbation instead:
+    params_p = jax.tree.map(
+        lambda p: p + 0.01 * np.float32(1.0), params
+    )
+    o1 = model.apply(params_p, x, y, jnp.full((B,), 0.1))
+    o2 = model.apply(params_p, x, y, jnp.full((B,), 0.9))
+    assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-7
+
+
+def test_sgmse_backbone_with_bottleneck_attn():
+    cfg = SGMSE_DEFAULT_YCOND
+    model = NCSNpp(cfg)
+    # 7 resolutions → T must be divisible by 2^6
+    x, y = _complex_inputs(jax.random.PRNGKey(5), f=768, t_frames=64)
+    t = jnp.full((B,), 0.5)
+    params = model.init(jax.random.PRNGKey(6), x, y, t)
+    out = model.apply(params, x, y, t)
+    assert out.shape == (B, 768, 64)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(resblock_type="ddpm", progressive="none", progressive_input="none"),
+        dict(progressive="residual", progressive_input="residual"),
+        dict(fir=False),
+        dict(embedding_type="positional"),
+        dict(progressive_combine="cat"),
+        dict(attn_resolutions=(16,)),
+    ],
+)
+def test_config_variants_run(overrides):
+    """Exercise the full config space the reference ctor supports."""
+    base = dict(
+        nf=16,
+        ch_mult=(1, 2),
+        num_res_blocks=1,
+        image_size=32,
+        bottleneck_attn=False,
+        attn_resolutions=(),
+    )
+    base.update(overrides)
+    cfg = NCSNppConfig(**base)
+    model = NCSNpp(cfg)
+    x, y = _complex_inputs(jax.random.PRNGKey(7), f=32, t_frames=16)
+    t = jnp.full((B,), 0.5)
+    params = model.init(jax.random.PRNGKey(8), x, y, t)
+    out = model.apply(params, x, y, t)
+    assert out.shape == (B, 32, 16)
+    assert np.all(np.isfinite(np.asarray(out.real)))
+
+
+def test_jit_and_grad():
+    cfg = NCSNppConfig(
+        nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=32,
+        bottleneck_attn=False, attn_resolutions=(),
+    )
+    model = NCSNpp(cfg)
+    x, y = _complex_inputs(jax.random.PRNGKey(9), f=32, t_frames=16)
+    t = jnp.full((B,), 0.5)
+    params = model.init(jax.random.PRNGKey(10), x, y, t)
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, x, y, t)
+        return jnp.mean(jnp.abs(out - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
