@@ -1,0 +1,260 @@
+"""Scan-fused samplers: fixed-grid ODE solvers, predictor-corrector (PC)
+sampling, and the probability-flow ODE.
+
+Capability parity with /root/reference/flowdec/sampling/ (solvers.py, the PC
+sampler in __init__.py:32-73, predictors.py, correctors.py and the black-box
+ODE sampler __init__.py:75-147). TPU-first design: every sampler is a single
+`lax.scan` over a statically-shaped state, so the whole N-step trajectory
+compiles to ONE XLA program (the reference instead loops in Python around
+torchdyn/scipy, paying dispatch per step and a CPU round-trip for RK45).
+
+Solvers exactly match the torchdyn fixed-step semantics the reference relies
+on: `t_span = linspace(0, 1, N+1)`, "midpoint" has NFE=2N, "euler" NFE=N,
+plus the reference's custom Heun2 / Heun2-with-Euler-last-step
+(sampling/solvers.py:15-61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowdec_tpu.flow.cfm import randn_like
+from flowdec_tpu.flow.sdes import BaseSDE, ReverseSDE, ScoreFn, _bstd
+from flowdec_tpu.utils.registry import Registry
+
+__all__ = [
+    "SolverRegistry",
+    "PredictorRegistry",
+    "CorrectorRegistry",
+    "ode_solve",
+    "pc_sample",
+    "probability_flow_sample",
+    "solver_nfe",
+]
+
+VectorField = Callable[[jax.Array, jax.Array], jax.Array]  # f(t_scalar, x) -> dx/dt
+
+SolverRegistry = Registry("solver")
+PredictorRegistry = Registry("Predictor")
+CorrectorRegistry = Registry("Corrector")
+
+
+# --------------------------------------------------------------------------
+# Fixed-grid ODE solvers (single steps); composed by ode_solve via lax.scan.
+# --------------------------------------------------------------------------
+
+
+@SolverRegistry.register("euler")
+def _euler_step(f: VectorField, x, t, dt, is_last):
+    return x + dt * f(t, x)
+
+
+@SolverRegistry.register("midpoint")
+def _midpoint_step(f: VectorField, x, t, dt, is_last):
+    k1 = f(t, x)
+    return x + dt * f(t + dt / 2, x + (dt / 2) * k1)
+
+
+@SolverRegistry.register("heun2")
+def _heun2_step(f: VectorField, x, t, dt, is_last):
+    k1 = f(t, x)
+    x_pred = x + dt * k1
+    return x + (dt / 2) * (k1 + f(t + dt, x_pred))
+
+
+@SolverRegistry.register("heun2_eulerlast")
+def _heun2_eulerlast_step(f: VectorField, x, t, dt, is_last):
+    """Heun2 but plain Euler on the final step, avoiding an evaluation at
+    t=1.0 (reference sampling/solvers.py:36-61)."""
+    k1 = f(t, x)
+    x_pred = x + dt * k1
+    x_corr = x + (dt / 2) * (k1 + f(t + dt, x_pred))
+    return jnp.where(is_last, x_pred, x_corr)
+
+
+@SolverRegistry.register("rk4")
+def _rk4_step(f: VectorField, x, t, dt, is_last):
+    k1 = f(t, x)
+    k2 = f(t + dt / 2, x + (dt / 2) * k1)
+    k3 = f(t + dt / 2, x + (dt / 2) * k2)
+    k4 = f(t + dt, x + dt * k3)
+    return x + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+_SOLVER_NFE = {"euler": 1, "midpoint": 2, "heun2": 2, "heun2_eulerlast": 2, "rk4": 4}
+
+
+def solver_nfe(solver: str, n_steps: int) -> int:
+    """Number of vector-field evaluations for an N-step solve."""
+    return _SOLVER_NFE[solver] * n_steps
+
+
+def ode_solve(
+    f: VectorField,
+    x0: jax.Array,
+    *,
+    n_steps: int,
+    solver: str = "midpoint",
+    t0: float = 0.0,
+    t1: float = 1.0,
+    return_trajectory: bool = False,
+) -> jax.Array:
+    """Integrate dx/dt = f(t, x) on linspace(t0, t1, n_steps+1) fixed steps.
+
+    Returns x(t1), or the full (n_steps+1, ...) trajectory including x0.
+    """
+    step_fn = SolverRegistry.get_by_name(solver)
+    ts = jnp.linspace(t0, t1, n_steps + 1)
+    dts = ts[1:] - ts[:-1]
+    is_last = jnp.arange(n_steps) == n_steps - 1
+
+    def body(x, inp):
+        t, dt, last = inp
+        x_next = step_fn(f, x, t, dt, last)
+        return x_next, (x_next if return_trajectory else None)
+
+    x_final, traj = jax.lax.scan(body, x0, (ts[:-1], dts, is_last))
+    if return_trajectory:
+        return jnp.concatenate([x0[None], traj], axis=0)
+    return x_final
+
+
+# --------------------------------------------------------------------------
+# Predictors and correctors (score-model reverse sampling)
+# --------------------------------------------------------------------------
+
+
+@PredictorRegistry.register("euler_maruyama")
+def euler_maruyama_predictor(rsde: ReverseSDE, x, t, y, key):
+    """One reverse Euler-Maruyama step (reference predictors.py:47-58)."""
+    dt = -1.0 / rsde.N
+    z = randn_like(key, x)
+    f, g = rsde.sde(x, t, y)
+    x_mean = x + f * dt
+    x = x_mean + _bstd(g, x) * np.sqrt(-dt) * z
+    return x, x_mean
+
+
+@PredictorRegistry.register("reverse_diffusion")
+def reverse_diffusion_predictor(rsde: ReverseSDE, x, t, y, key):
+    """One reverse-diffusion (discretized) step (reference predictors.py:61-71)."""
+    f, g = rsde.discretize(x, t, y)
+    z = randn_like(key, x)
+    x_mean = x - f
+    x = x_mean + _bstd(g, x) * z
+    return x, x_mean
+
+
+@PredictorRegistry.register("none")
+def none_predictor(rsde: ReverseSDE, x, t, y, key):
+    return x, x
+
+
+@CorrectorRegistry.register("ald")
+def ald_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps):
+    """Annealed Langevin dynamics (reference correctors.py:42-66)."""
+    std = sde.std(t)
+    x_mean = x
+    for i in range(n_steps):  # static unroll, n_steps is host-known (usually 1)
+        key, sub = jax.random.split(key)
+        grad = score_fn(x, y, t)
+        noise = randn_like(sub, x)
+        step_size = (snr * std) ** 2 * 2
+        x_mean = x + _bstd(step_size, x) * grad
+        x = x_mean + noise * _bstd(jnp.sqrt(step_size * 2), x)
+    return x, x_mean
+
+
+@CorrectorRegistry.register("none")
+def none_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps):
+    return x, x
+
+
+def pc_sample(
+    key: jax.Array,
+    sde: BaseSDE,
+    score_fn: ScoreFn,
+    y: jax.Array,
+    *,
+    n_steps: int,
+    predictor: str = "reverse_diffusion",
+    corrector: str = "ald",
+    snr: float = 0.5,
+    corrector_steps: int = 1,
+    probability_flow: bool = False,
+    denoise: bool = True,
+    eps: float = 3e-2,
+) -> Tuple[jax.Array, int]:
+    """Predictor-corrector sampler, one lax.scan over linspace(T, eps, N)
+    (reference sampling/__init__.py:32-73). Returns (x, nfe)."""
+    sde = dataclasses.replace(sde, N=n_steps)
+    rsde = ReverseSDE(sde, score_fn, probability_flow=probability_flow)
+    predictor_fn = PredictorRegistry.get_by_name(predictor)
+    corrector_fn = CorrectorRegistry.get_by_name(corrector)
+
+    key, prior_key = jax.random.split(key)
+    x_init = sde.prior_sampling(prior_key, y)
+    timesteps = jnp.linspace(sde.T, eps, n_steps)
+    batch = y.shape[0]
+
+    def body(carry, t_scalar):
+        x, k = carry
+        k, k_corr, k_pred = jax.random.split(k, 3)
+        vec_t = jnp.full((batch,), t_scalar, dtype=jnp.real(y).dtype)
+        x, x_mean = corrector_fn(
+            sde, score_fn, x, vec_t, y, k_corr, snr, corrector_steps
+        )
+        x, x_mean = predictor_fn(rsde, x, vec_t, y, k_pred)
+        return (x, k), x_mean
+
+    (x_final, _), means = jax.lax.scan(body, (x_init, key), timesteps)
+    x_result = means[-1] if denoise else x_final
+
+    corr_nfe = corrector_steps if corrector != "none" else 0
+    pred_nfe = 1 if predictor != "none" else 0
+    nfe = n_steps * (corr_nfe + pred_nfe)
+    return x_result, nfe
+
+
+def probability_flow_sample(
+    key: jax.Array,
+    sde: BaseSDE,
+    score_fn: ScoreFn,
+    y: jax.Array,
+    *,
+    n_steps: int,
+    solver: str = "rk4",
+    denoise: bool = True,
+    eps: float = 3e-2,
+) -> Tuple[jax.Array, int]:
+    """Probability-flow ODE sampler (reference sampling/__init__.py:75-147).
+
+    The reference flattens to numpy and calls scipy RK45 on the host; here the
+    ODE integrates on-device on a fixed grid (rk4 by default), followed by the
+    same one-step reverse-diffusion denoise.
+    """
+    rsde = ReverseSDE(sde, score_fn, probability_flow=True)
+    batch = y.shape[0]
+
+    def f(t_scalar, x):
+        vec_t = jnp.full((batch,), t_scalar, dtype=jnp.real(y).dtype)
+        drift, _ = rsde.sde(x, vec_t, y)
+        return drift
+
+    key, prior_key = jax.random.split(key)
+    x = sde.prior_sampling(prior_key, y)
+    x = ode_solve(f, x, n_steps=n_steps, solver=solver, t0=sde.T, t1=eps)
+    nfe = solver_nfe(solver, n_steps)
+
+    if denoise:
+        denoise_sde = dataclasses.replace(sde, N=n_steps)
+        denoise_rsde = ReverseSDE(denoise_sde, score_fn, probability_flow=False)
+        vec_eps = jnp.full((batch,), eps, dtype=jnp.real(y).dtype)
+        _, x = reverse_diffusion_predictor(denoise_rsde, x, vec_eps, y, key)
+        nfe += 1
+    return x, nfe
