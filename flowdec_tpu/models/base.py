@@ -1,0 +1,129 @@
+"""Shared enhancement-model machinery: preprocessing, postprocessing, and the
+common model container.
+
+Capability parity with EnhancementModel (/root/reference/flowdec/model.py:37):
+_preprocess (:129) = normalize → feature-extract → pad-to-64-frames, and
+_postprocess (:165) = unpad → invert features → de-normalize. Functional
+re-design: models are flax.struct pytrees (sigma curves are leaves, configs
+are static), params live outside the model, and preprocess returns a static
+info tuple instead of an undo closure so everything jits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from flowdec_tpu.models.features import FeatureExtractor
+from flowdec_tpu.nn.ncsnpp import NCSNpp, NCSNppConfig
+from flowdec_tpu.ops.padding import normalize_noisy, pad_spec, unpad_spec
+
+__all__ = ["PreprocessInfo", "EnhancementModel", "leading_shape_to_batch"]
+
+
+class PreprocessInfo(NamedTuple):
+    """Static + per-sample info needed to invert preprocessing.
+
+    orig_length / orig_frames / squeeze_dims are Python ints (shape-derived,
+    hence static under jit); normfac is a per-sample array.
+    """
+
+    orig_length: int
+    orig_frames: int
+    normfac: jax.Array
+    squeeze_dims: int
+
+
+def leading_shape_to_batch(y: jax.Array) -> Tuple[jax.Array, int]:
+    """Normalize waveform input to (B, L) mono; returns (array, squeeze_dims).
+
+    Accepts (L,), (B, L) or (B, 1, L) — the shapes the reference's repeated
+    unsqueeze loop handles (model.py:144-148).
+    """
+    squeeze_dims = 0
+    if y.ndim == 1:
+        y = y[None]
+        squeeze_dims = 1
+    elif y.ndim == 3:
+        assert y.shape[1] == 1, f"only mono audio supported, got shape {y.shape}"
+        y = y[:, 0]
+        squeeze_dims = -1  # marker: re-insert the channel axis on output
+    assert y.ndim == 2, f"unsupported waveform shape {y.shape}"
+    return y, squeeze_dims
+
+
+class EnhancementModel(flax.struct.PyTreeNode):
+    """Config container shared by Flow/Score/Regression models.
+
+    The backbone Flax module and feature extractor are static pytree metadata;
+    subclasses may add array leaves (e.g. sigma curves).
+    """
+
+    backbone: NCSNpp = flax.struct.field(pytree_node=False)
+    feature_extractor: FeatureExtractor = flax.struct.field(pytree_node=False)
+    sampling_rate: int = flax.struct.field(pytree_node=False, default=48000)
+    normalize_mode: str = flax.struct.field(pytree_node=False, default="noisy")
+
+    # --- parameter initialization ---
+
+    def init_params(self, key: jax.Array, *, frames: int = 64, batch: int = 1):
+        n_bins = self.feature_extractor.n_bins
+        dummy = jnp.zeros((batch, n_bins, frames), dtype=jnp.complex64)
+        t = jnp.zeros((batch,), dtype=jnp.float32)
+        return self.backbone.init(key, dummy, dummy, t)
+
+    # --- data representation ---
+
+    def preprocess(
+        self,
+        y: jax.Array,
+        x: Optional[jax.Array] = None,
+        comp_eps: Optional[float] = None,
+    ) -> Tuple[jax.Array, Optional[jax.Array], PreprocessInfo]:
+        """waveforms → padded compressed-STFT features.
+
+        Returns (Y, X or None, info)."""
+        assert x is None or x.shape == y.shape
+        y, squeeze_dims = leading_shape_to_batch(y)
+        if x is not None:
+            x, _ = leading_shape_to_batch(x)
+
+        y, x, normfac = normalize_noisy(y, mode=self.normalize_mode, x=x)
+        Y = self.feature_extractor.forward(y, comp_eps=comp_eps)
+        Y, orig_frames = pad_spec(Y, mode="zero")
+
+        X = None
+        if x is not None:
+            X = self.feature_extractor.forward(x, comp_eps=comp_eps)
+            X, _ = pad_spec(X, mode="zero")
+            assert X.shape == Y.shape
+
+        info = PreprocessInfo(
+            orig_length=y.shape[-1],
+            orig_frames=orig_frames,
+            normfac=normfac,
+            squeeze_dims=squeeze_dims,
+        )
+        return Y, X, info
+
+    def postprocess(self, X: jax.Array, info: PreprocessInfo) -> jax.Array:
+        """padded features → de-normalized waveform (inverse of preprocess)."""
+        X = unpad_spec(X, info.orig_frames)
+        x = self.feature_extractor.invert(X, orig_length=info.orig_length)
+        x = x * info.normfac
+        if info.squeeze_dims == 1:
+            x = x[0]
+        elif info.squeeze_dims == -1:
+            x = x[:, None, :]
+        return x
+
+    # --- backbone call ---
+
+    def apply_backbone(self, params, xt, y, t, *, train=False, rngs=None):
+        if t.ndim == 0:
+            t = t[None]
+        return self.backbone.apply(params, xt, y, t, train=train, rngs=rngs)

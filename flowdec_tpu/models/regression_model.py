@@ -1,0 +1,45 @@
+"""One-shot L2 regression baseline.
+
+Capability parity with RegressionModel (/root/reference/flowdec/model.py:541-578):
+X_hat = NN(Y, Y, t=0), loss = mean |X_hat − X|².
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from flowdec_tpu.models.base import EnhancementModel
+
+__all__ = ["RegressionModel"]
+
+
+class RegressionModel(EnhancementModel):
+    loss_type: str = flax.struct.field(pytree_node=False, default="l2")
+
+    def loss(
+        self, params, key: jax.Array, batch: Tuple[jax.Array, jax.Array], *, train: bool = True
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        assert self.loss_type == "l2"
+        x_wav, y_wav = batch
+        Y, X, _ = self.preprocess(y_wav, x=x_wav)
+        Y = jax.lax.stop_gradient(Y)
+        X = jax.lax.stop_gradient(X)
+        t = jnp.zeros((X.shape[0],))
+        x_hat = self.apply_backbone(params, Y, Y, t, train=train, rngs={"dropout": key})
+        per_sample = jnp.mean(
+            jnp.square(jnp.abs(x_hat - X)).reshape(X.shape[0], -1), axis=1
+        )
+        return jnp.mean(per_sample), {
+            "per_sample": per_sample,
+            "n_nan": jnp.sum(~jnp.isfinite(per_sample)),
+        }
+
+    def enhance(self, params, key: jax.Array, y: jax.Array, **_ignored):
+        Y, _, info = self.preprocess(y)
+        t = jnp.zeros((Y.shape[0],))
+        X_hat = self.apply_backbone(params, Y, Y, t)
+        return self.postprocess(X_hat, info)

@@ -1,0 +1,203 @@
+"""Model-family tests: preprocess/postprocess inversion, losses, enhance.
+
+Uses a miniature geometry (n_fft=126 → 64 bins, 2-level U-Net) so CPU tests
+stay fast while exercising the exact same code paths as the 75M model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowdec_tpu.flow.sdes import OUVESDE
+from flowdec_tpu.models import (
+    AmplitudeCompressedComplexSTFT,
+    FlowModel,
+    RegressionModel,
+    ScoreModel,
+    sigma_models,
+)
+from flowdec_tpu.nn import NCSNpp, NCSNppConfig
+
+SR = 8000
+N_FFT = 126  # 64 bins
+LENGTH = 4064  # 1 + 4064/32 = 128 frames (multiple of 64 after padding)
+
+FEX = AmplitudeCompressedComplexSTFT(
+    n_fft=N_FFT, sampling_rate=SR, alpha=0.3, beta=0.33, n_hops=4
+)
+TINY_BACKBONE = NCSNppConfig(
+    nf=16,
+    ch_mult=(1, 2),
+    num_res_blocks=1,
+    attn_resolutions=(),
+    bottleneck_attn=False,
+    image_size=64,
+    output_kernel_size=1,
+    output_bias=False,
+)
+
+
+def _make_flow_model(**kw):
+    return FlowModel(
+        backbone=NCSNpp(TINY_BACKBONE),
+        feature_extractor=FEX,
+        sampling_rate=SR,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, LENGTH)).astype(np.float32) * 0.1
+    y = (x + 0.05 * rng.standard_normal((2, LENGTH))).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def flow_model_and_params(batch):
+    model = _make_flow_model()
+    params = model.init_params(jax.random.PRNGKey(0), frames=128)
+    return model, params
+
+
+def test_preprocess_postprocess_roundtrip(batch):
+    model = _make_flow_model()
+    _, y = batch
+    Y, _, info = model.preprocess(y)
+    assert Y.shape == (2, 64, 128)  # padded to multiple of 64
+    assert jnp.iscomplexobj(Y)
+    back = model.postprocess(Y, info)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(y), atol=1e-4)
+
+
+def test_preprocess_with_clean(batch):
+    model = _make_flow_model()
+    x, y = batch
+    Y, X, info = model.preprocess(y, x=x)
+    assert X.shape == Y.shape
+    back_x = model.postprocess(X, info)
+    np.testing.assert_allclose(np.asarray(back_x), np.asarray(x), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape_kind", ["1d", "3d"])
+def test_shape_handling(batch, shape_kind):
+    model = _make_flow_model()
+    _, y = batch
+    if shape_kind == "1d":
+        y_in = y[0]
+    else:
+        y_in = y[:, None, :]
+    Y, _, info = model.preprocess(y_in)
+    back = model.postprocess(Y, info)
+    assert back.shape == y_in.shape
+
+
+def test_flow_loss_and_grads(flow_model_and_params, batch):
+    model, params = flow_model_and_params
+    loss, aux = model.loss(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+    assert int(aux["n_nan"]) == 0
+    assert aux["per_sample"].shape == (2,)
+
+    g = jax.grad(lambda p: model.loss(p, jax.random.PRNGKey(1), batch)[0])(params)
+    gsum = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+
+
+def test_flow_loss_nan_masking(flow_model_and_params, batch):
+    """A NaN sample must be masked out, not poison the batch (reference
+    model.py:447-464 drops NaN samples)."""
+    model, params = flow_model_and_params
+    x, y = batch
+    x_bad = x.at[1].set(jnp.nan)
+    loss, aux = model.loss(params, jax.random.PRNGKey(1), (x_bad, y))
+    assert np.isfinite(float(loss))
+    assert int(aux["n_nan"]) == 1
+    # all-NaN batch → NaN loss (training loop escalates)
+    loss_all, _ = model.loss(
+        params, jax.random.PRNGKey(1), (x.at[:].set(jnp.nan), y)
+    )
+    assert np.isnan(float(loss_all))
+
+
+def test_flow_enhance(flow_model_and_params, batch):
+    model, params = flow_model_and_params
+    _, y = batch
+    x_hat = model.enhance(params, jax.random.PRNGKey(2), y, n_steps=2, solver="midpoint")
+    assert x_hat.shape == y.shape
+    assert np.all(np.isfinite(np.asarray(x_hat)))
+
+
+def test_flow_enhance_trajectory(flow_model_and_params, batch):
+    model, params = flow_model_and_params
+    _, y = batch
+    X_hats, x_hats = model.enhance(
+        params, jax.random.PRNGKey(2), y, n_steps=2, solver="euler",
+        return_trajectory=True,
+    )
+    assert X_hats.shape[0] == 3 and x_hats.shape == (3, *y.shape)
+
+
+def test_flow_per_band_sigma(batch):
+    curve = np.linspace(0.2, 0.6, 64).astype(np.float32)
+    model = _make_flow_model(sigma_y=sigma_models.as_band_sigma(curve))
+    params = model.init_params(jax.random.PRNGKey(0), frames=128)
+    loss, _ = model.loss(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+    x_hat = model.enhance(params, jax.random.PRNGKey(2), batch[1], n_steps=1)
+    assert x_hat.shape == batch[1].shape
+
+
+def test_flow_jit_enhance(flow_model_and_params, batch):
+    model, params = flow_model_and_params
+    _, y = batch
+    fn = jax.jit(
+        lambda m, p, k, y_: m.enhance(p, k, y_, n_steps=2, solver="midpoint")
+    )
+    out = fn(model, params, jax.random.PRNGKey(3), y)
+    ref = model.enhance(params, jax.random.PRNGKey(3), y, n_steps=2, solver="midpoint")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_score_model(batch):
+    model = ScoreModel(
+        backbone=NCSNpp(TINY_BACKBONE),
+        feature_extractor=FEX,
+        sampling_rate=SR,
+        sde=OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.82, N=30),
+    )
+    params = model.init_params(jax.random.PRNGKey(0), frames=128)
+    loss, aux = model.loss(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+
+    x_hat = model.enhance(
+        params, jax.random.PRNGKey(2), batch[1], sampler_type="pc", n_steps=3
+    )
+    assert x_hat.shape == batch[1].shape
+    assert np.all(np.isfinite(np.asarray(x_hat)))
+
+    x_ode = model.enhance(
+        params, jax.random.PRNGKey(2), batch[1], sampler_type="ode", n_steps=3
+    )
+    assert x_ode.shape == batch[1].shape
+
+
+def test_regression_model(batch):
+    model = RegressionModel(
+        backbone=NCSNpp(TINY_BACKBONE), feature_extractor=FEX, sampling_rate=SR
+    )
+    params = model.init_params(jax.random.PRNGKey(0), frames=128)
+    loss, _ = model.loss(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+    x_hat = model.enhance(params, jax.random.PRNGKey(2), batch[1])
+    assert x_hat.shape == batch[1].shape
+
+
+def test_released_sigma_curves_load():
+    for name, factor in (("flowdec_autoparams_75m.npy", 1.0),
+                         ("flowdec_autoparams_25s.npy", 1.0)):
+        curve = sigma_models.from_file(name, factor=factor, kernel_bandwidth=3)
+        assert curve.shape == (768, 1)
+        assert 0.1 < curve.min() < curve.max() < 0.7
