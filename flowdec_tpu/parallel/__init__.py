@@ -1,0 +1,23 @@
+"""Device mesh + sharding (the reference's DDP capability, TPU-native)."""
+
+from flowdec_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    initialize_distributed,
+    is_primary_host,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "initialize_distributed",
+    "is_primary_host",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,99 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+The reference's hot loop (SURVEY.md §3.1) is Lightning: forward, backward,
+Adam step, NCCL all-reduce, then a separate EMA callback. Here the whole step
+— loss, grads, optimizer update, EMA lerp — is ONE jitted XLA program; under a
+data-parallel mesh the gradient all-reduce is inserted by XLA from the
+shardings (batch: P('data'), state: replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowdec_tpu.parallel.mesh import DATA_AXIS
+from flowdec_tpu.train.state import TrainState, masked_optimizer
+
+__all__ = ["build_train_step", "make_train_step", "make_eval_step"]
+
+
+def build_train_step(model, optimizer: optax.GradientTransformation, *, ema_decay: float = 0.999):
+    """Raw (unjitted) train step: (state, batch, key) → (state, metrics)."""
+    opt = masked_optimizer(optimizer)
+
+    def step_fn(state: TrainState, batch, key: jax.Array):
+        def loss_fn(params):
+            loss, aux = model.loss(params, key, batch, train=True)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # post-step EMA of the full tree (reference ema.py:93-100)
+        new_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params,
+            new_params,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            ema_params=new_ema,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "train_loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "n_nan": aux["n_nan"],
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    *,
+    ema_decay: float = 0.999,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Jit a train step; with a mesh, pin DP shardings so XLA inserts the
+    gradient all-reduce (the reference's NCCL DDP, TPU-native).
+
+    batch is a (clean, coded) waveform tuple sharded on its leading axis;
+    state and PRNG key are replicated.
+    """
+    step_fn = build_train_step(model, optimizer, ema_decay=ema_decay)
+    donate_args = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_args)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=donate_args,
+    )
+
+
+def make_eval_step(model, *, ema: bool = True, mesh: Optional[Mesh] = None):
+    """Validation loss on EMA weights (reference swaps EMA in for val,
+    ema.py:166-180)."""
+
+    def step_fn(state: TrainState, batch, key: jax.Array):
+        loss, aux = model.loss(state.eval_params(ema=ema), key, batch, train=False)
+        return {"valid_loss": loss, "n_nan": aux["n_nan"]}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step_fn, in_shardings=(repl, data, repl), out_shardings=repl)

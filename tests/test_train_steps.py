@@ -1,0 +1,136 @@
+"""Training-step tests: optimization progress, EMA semantics, frozen params,
+and DP-sharded vs single-device equivalence on the virtual 8-device mesh —
+the multi-node-without-a-cluster capability the reference lacks (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, FlowModel
+from flowdec_tpu.nn import NCSNpp, NCSNppConfig
+from flowdec_tpu.parallel import make_mesh, shard_batch
+from flowdec_tpu.train.state import create_train_state, make_optimizer, trainable_mask
+from flowdec_tpu.train.steps import make_eval_step, make_train_step
+
+SR = 8000
+LENGTH = 2016  # 1 + 2016/32 = 64 frames
+
+FEX = AmplitudeCompressedComplexSTFT(
+    n_fft=126, sampling_rate=SR, alpha=0.3, beta=0.33, n_hops=4
+)
+TINY = NCSNppConfig(
+    nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+    bottleneck_attn=False, image_size=64, output_kernel_size=1, output_bias=False,
+)
+
+
+def _model():
+    return FlowModel(
+        backbone=NCSNpp(TINY), feature_extractor=FEX, sampling_rate=SR,
+        sigma_x=jnp.asarray(0.1), sigma_y=jnp.asarray(0.5),
+    )
+
+
+def _batch(batch_size=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch_size, LENGTH)).astype(np.float32) * 0.1
+    y = (x + 0.05 * rng.standard_normal((batch_size, LENGTH))).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_train_step_improves_loss():
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step = make_train_step(model, optimizer)
+
+    batch = _batch()
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i % 3))
+        losses.append(float(metrics["train_loss"]))
+    assert int(state.step) == 12
+    assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
+    assert all(np.isfinite(losses))
+
+
+def test_ema_lags_params():
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    init_params = jax.tree.map(jnp.copy, state.params)
+    step = make_train_step(model, optimizer, ema_decay=0.9)
+    batch = _batch()
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    # after one step: ema = 0.9·init + 0.1·new
+    def check(e, p0, p1):
+        np.testing.assert_allclose(
+            np.asarray(e), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p1), atol=1e-6
+        )
+
+    jax.tree.map(check, state.ema_params, init_params, state.params)
+
+
+def test_fourier_w_frozen():
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-1)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    mask = trainable_mask(state.params)
+    flat_mask = jax.tree.leaves(mask)
+    assert not all(flat_mask), "expected at least one frozen param"
+
+    w_before = np.asarray(state.params["params"]["fourier_proj"]["W"])
+    step = make_train_step(model, optimizer)
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    w_after = np.asarray(state.params["params"]["fourier_proj"]["W"])
+    np.testing.assert_array_equal(w_before, w_after)
+
+
+def test_dp_sharded_matches_single_device():
+    """A DP-sharded step on the 8-device CPU mesh must reproduce the
+    single-device step bit-closely (same math, psum-reduced grads)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    batch = _batch(batch_size=8)
+    key = jax.random.PRNGKey(7)
+
+    state_single = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_single = make_train_step(model, optimizer, donate=False)
+    state_single, m_single = step_single(state_single, batch, key)
+
+    mesh = make_mesh(n_data=8)
+    state_dp = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_dp = make_train_step(model, optimizer, mesh=mesh, donate=False)
+    batch_dp = shard_batch(batch, mesh)
+    state_dp, m_dp = step_dp(state_dp, batch_dp, key)
+
+    assert abs(float(m_single["train_loss"]) - float(m_dp["train_loss"])) < 1e-5
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    jax.tree.map(close, state_single.params, state_dp.params)
+    jax.tree.map(close, state_single.ema_params, state_dp.ema_params)
+
+
+def test_eval_step_uses_ema():
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-2)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step = make_train_step(model, optimizer, ema_decay=0.5)
+    batch = _batch()
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+
+    eval_ema = make_eval_step(model, ema=True)
+    eval_raw = make_eval_step(model, ema=False)
+    key = jax.random.PRNGKey(3)
+    l_ema = float(eval_ema(state, batch, key)["valid_loss"])
+    l_raw = float(eval_raw(state, batch, key)["valid_loss"])
+    assert np.isfinite(l_ema) and np.isfinite(l_raw)
+    assert l_ema != l_raw  # EMA weights genuinely differ from raw
