@@ -2,6 +2,7 @@
 
 from flowdec_tpu.flow.cfm import (
     bridge_statistics,
+    crandn_like,
     randn_like,
     sample_location_and_conditional_flow,
 )
@@ -25,6 +26,7 @@ from flowdec_tpu.flow.samplers import (
 
 __all__ = [
     "bridge_statistics",
+    "crandn_like",
     "randn_like",
     "sample_location_and_conditional_flow",
     "BBEDSDE",

@@ -130,10 +130,10 @@ def ode_solve(
 
 
 @PredictorRegistry.register("euler_maruyama")
-def euler_maruyama_predictor(rsde: ReverseSDE, x, t, y, key):
+def euler_maruyama_predictor(rsde: ReverseSDE, x, t, y, key, noise_fn=randn_like):
     """One reverse Euler-Maruyama step (reference predictors.py:47-58)."""
     dt = -1.0 / rsde.N
-    z = randn_like(key, x)
+    z = noise_fn(key, x)
     f, g = rsde.sde(x, t, y)
     x_mean = x + f * dt
     x = x_mean + _bstd(g, x) * np.sqrt(-dt) * z
@@ -141,29 +141,30 @@ def euler_maruyama_predictor(rsde: ReverseSDE, x, t, y, key):
 
 
 @PredictorRegistry.register("reverse_diffusion")
-def reverse_diffusion_predictor(rsde: ReverseSDE, x, t, y, key):
+def reverse_diffusion_predictor(rsde: ReverseSDE, x, t, y, key, noise_fn=randn_like):
     """One reverse-diffusion (discretized) step (reference predictors.py:61-71)."""
     f, g = rsde.discretize(x, t, y)
-    z = randn_like(key, x)
+    z = noise_fn(key, x)
     x_mean = x - f
     x = x_mean + _bstd(g, x) * z
     return x, x_mean
 
 
 @PredictorRegistry.register("none")
-def none_predictor(rsde: ReverseSDE, x, t, y, key):
+def none_predictor(rsde: ReverseSDE, x, t, y, key, noise_fn=randn_like):
     return x, x
 
 
 @CorrectorRegistry.register("ald")
-def ald_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps):
+def ald_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps,
+                  noise_fn=randn_like):
     """Annealed Langevin dynamics (reference correctors.py:42-66)."""
     std = sde.std(t)
     x_mean = x
     for i in range(n_steps):  # static unroll, n_steps is host-known (usually 1)
         key, sub = jax.random.split(key)
         grad = score_fn(x, y, t)
-        noise = randn_like(sub, x)
+        noise = noise_fn(sub, x)
         step_size = (snr * std) ** 2 * 2
         x_mean = x + _bstd(step_size, x) * grad
         x = x_mean + noise * _bstd(jnp.sqrt(step_size * 2), x)
@@ -171,7 +172,8 @@ def ald_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps):
 
 
 @CorrectorRegistry.register("none")
-def none_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps):
+def none_corrector(sde: BaseSDE, score_fn: ScoreFn, x, t, y, key, snr, n_steps,
+                   noise_fn=randn_like):
     return x, x
 
 
@@ -189,27 +191,31 @@ def pc_sample(
     probability_flow: bool = False,
     denoise: bool = True,
     eps: float = 3e-2,
+    noise_fn=randn_like,
 ) -> Tuple[jax.Array, int]:
     """Predictor-corrector sampler, one lax.scan over linspace(T, eps, N)
-    (reference sampling/__init__.py:32-73). Returns (x, nfe)."""
+    (reference sampling/__init__.py:32-73). Returns (x, nfe).
+    noise_fn picks the noise family: randn_like for plain real fields,
+    crandn_like for cpair spectral features."""
     sde = dataclasses.replace(sde, N=n_steps)
     rsde = ReverseSDE(sde, score_fn, probability_flow=probability_flow)
     predictor_fn = PredictorRegistry.get_by_name(predictor)
     corrector_fn = CorrectorRegistry.get_by_name(corrector)
 
     key, prior_key = jax.random.split(key)
-    x_init = sde.prior_sampling(prior_key, y)
+    x_init = sde.prior_sampling(prior_key, y, noise_fn=noise_fn)
     timesteps = jnp.linspace(sde.T, eps, n_steps)
     batch = y.shape[0]
 
     def body(carry, t_scalar):
         x, k = carry
         k, k_corr, k_pred = jax.random.split(k, 3)
-        vec_t = jnp.full((batch,), t_scalar, dtype=jnp.real(y).dtype)
+        vec_t = jnp.full((batch,), t_scalar, dtype=y.dtype)
         x, x_mean = corrector_fn(
-            sde, score_fn, x, vec_t, y, k_corr, snr, corrector_steps
+            sde, score_fn, x, vec_t, y, k_corr, snr, corrector_steps,
+            noise_fn=noise_fn,
         )
-        x, x_mean = predictor_fn(rsde, x, vec_t, y, k_pred)
+        x, x_mean = predictor_fn(rsde, x, vec_t, y, k_pred, noise_fn=noise_fn)
         return (x, k), x_mean
 
     (x_final, _), means = jax.lax.scan(body, (x_init, key), timesteps)
@@ -231,6 +237,7 @@ def probability_flow_sample(
     solver: str = "rk4",
     denoise: bool = True,
     eps: float = 3e-2,
+    noise_fn=randn_like,
 ) -> Tuple[jax.Array, int]:
     """Probability-flow ODE sampler (reference sampling/__init__.py:75-147).
 
@@ -242,19 +249,21 @@ def probability_flow_sample(
     batch = y.shape[0]
 
     def f(t_scalar, x):
-        vec_t = jnp.full((batch,), t_scalar, dtype=jnp.real(y).dtype)
+        vec_t = jnp.full((batch,), t_scalar, dtype=y.dtype)
         drift, _ = rsde.sde(x, vec_t, y)
         return drift
 
     key, prior_key = jax.random.split(key)
-    x = sde.prior_sampling(prior_key, y)
+    x = sde.prior_sampling(prior_key, y, noise_fn=noise_fn)
     x = ode_solve(f, x, n_steps=n_steps, solver=solver, t0=sde.T, t1=eps)
     nfe = solver_nfe(solver, n_steps)
 
     if denoise:
         denoise_sde = dataclasses.replace(sde, N=n_steps)
         denoise_rsde = ReverseSDE(denoise_sde, score_fn, probability_flow=False)
-        vec_eps = jnp.full((batch,), eps, dtype=jnp.real(y).dtype)
-        _, x = reverse_diffusion_predictor(denoise_rsde, x, vec_eps, y, key)
+        vec_eps = jnp.full((batch,), eps, dtype=y.dtype)
+        _, x = reverse_diffusion_predictor(
+            denoise_rsde, x, vec_eps, y, key, noise_fn=noise_fn
+        )
         nfe += 1
     return x, nfe

@@ -11,8 +11,9 @@ Differences by design:
     series/continued-fraction hybrid instead of a CPU scipy round-trip that
     hardcoded `.cuda()` (reference quirk, sdes.py:312-315).
 
-t arguments are per-sample vectors (B,); feature tensors are (B, F, T)
-complex. std broadcasting appends singleton axes.
+t arguments are per-sample vectors (B,); feature tensors are cpair arrays
+(B, F, T, 2) — see ops/cpair.py. std broadcasting appends singleton axes
+(covering the trailing pair axis too).
 """
 
 from __future__ import annotations
@@ -25,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowdec_tpu.flow.cfm import randn_like
+from flowdec_tpu.ops.cpair import crandn_like
 from flowdec_tpu.utils.registry import Registry
+
+# Noise generators: `randn_like` = N(0,1) per component (plain real fields);
+# `crandn_like` = CN(0,1) cpair noise (spectral features). Callers pick —
+# models pass crandn_like so noise scale matches the reference's complex
+# torch.randn_like.
 
 __all__ = [
     "SDERegistry",
@@ -72,7 +79,7 @@ def expi_negative(x: jax.Array) -> jax.Array:
 
 def _bstd(std: jax.Array, x: jax.Array) -> jax.Array:
     """Broadcast per-sample std (B,) over the trailing dims of x."""
-    return std.reshape(std.shape + (1,) * (x.ndim - 1)).astype(jnp.real(x).dtype)
+    return std.reshape(std.shape + (1,) * (x.ndim - 1)).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,10 +98,10 @@ class BaseSDE:
     def marginal_prob(self, x0, t, y):
         return self.mean(x0, t, y), self.std(t)
 
-    def prior_sampling(self, key: jax.Array, y: jax.Array) -> jax.Array:
-        t_T = jnp.full((y.shape[0],), self.T, dtype=jnp.real(y).dtype)
+    def prior_sampling(self, key: jax.Array, y: jax.Array, noise_fn=randn_like) -> jax.Array:
+        t_T = jnp.full((y.shape[0],), self.T, dtype=y.dtype)
         std = self.std(t_T)
-        return y + randn_like(key, y) * _bstd(std, y)
+        return y + noise_fn(key, y) * _bstd(std, y)
 
     def discretize(self, x, t, y) -> Tuple[jax.Array, jax.Array]:
         dt = 1.0 / self.N

@@ -5,8 +5,9 @@ Capability parity with EnhancementModel (/root/reference/flowdec/model.py:37):
 _preprocess (:129) = normalize → feature-extract → pad-to-64-frames, and
 _postprocess (:165) = unpad → invert features → de-normalize. Functional
 re-design: models are flax.struct pytrees (sigma curves are leaves, configs
-are static), params live outside the model, and preprocess returns a static
-info tuple instead of an undo closure so everything jits.
+are static), params live outside the model, preprocess returns a static
+info tuple instead of an undo closure so everything jits, and features are
+cpair arrays (B, F, T, 2) — see ops/cpair.py.
 """
 
 from __future__ import annotations
@@ -72,7 +73,7 @@ class EnhancementModel(flax.struct.PyTreeNode):
 
     def init_params(self, key: jax.Array, *, frames: int = 64, batch: int = 1):
         n_bins = self.feature_extractor.n_bins
-        dummy = jnp.zeros((batch, n_bins, frames), dtype=jnp.complex64)
+        dummy = jnp.zeros((batch, n_bins, frames, 2), dtype=jnp.float32)
         t = jnp.zeros((batch,), dtype=jnp.float32)
         return self.backbone.init(key, dummy, dummy, t)
 
@@ -94,12 +95,12 @@ class EnhancementModel(flax.struct.PyTreeNode):
 
         y, x, normfac = normalize_noisy(y, mode=self.normalize_mode, x=x)
         Y = self.feature_extractor.forward(y, comp_eps=comp_eps)
-        Y, orig_frames = pad_spec(Y, mode="zero")
+        Y, orig_frames = pad_spec(Y, mode="zero", axis=-2)
 
         X = None
         if x is not None:
             X = self.feature_extractor.forward(x, comp_eps=comp_eps)
-            X, _ = pad_spec(X, mode="zero")
+            X, _ = pad_spec(X, mode="zero", axis=-2)
             assert X.shape == Y.shape
 
         info = PreprocessInfo(
@@ -112,7 +113,7 @@ class EnhancementModel(flax.struct.PyTreeNode):
 
     def postprocess(self, X: jax.Array, info: PreprocessInfo) -> jax.Array:
         """padded features → de-normalized waveform (inverse of preprocess)."""
-        X = unpad_spec(X, info.orig_frames)
+        X = unpad_spec(X, info.orig_frames, axis=-2)
         x = self.feature_extractor.invert(X, orig_length=info.orig_length)
         x = x * info.normfac
         if info.squeeze_dims == 1:

@@ -5,6 +5,7 @@ ComplexSTFT (:62-109), CompressAmplitudesAndScale (:112-139), their
 composition AmplitudeCompressedComplexSTFT (:29-59), InvertibleSequential and
 NoOp (:142-163) — as frozen config dataclasses with pure forward/invert
 functions (closures don't jit; configs hash into the jit cache key).
+Features are cpair arrays (B, F, T, 2) — see ops/cpair.py.
 
 The invertibility contract `invert(forward(x)) == x` (declared but untested in
 the reference, feature_extractors.py:22) is enforced by tests here.
@@ -18,8 +19,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from flowdec_tpu.ops.compression import compress, decompress
-from flowdec_tpu.ops.stft import StftConfig, istft, stft
+from flowdec_tpu.ops.compression import compress_pair, decompress_pair
+from flowdec_tpu.ops.stft import StftConfig, istft_pair, stft_pair
 
 __all__ = [
     "FeatureExtractor",
@@ -46,7 +47,8 @@ class FeatureExtractor:
 
 @dataclasses.dataclass(frozen=True)
 class ComplexSTFT(FeatureExtractor):
-    """Complex STFT feature (B, F, T) of a waveform (B, L); exact istft inverse.
+    """Complex STFT feature of a waveform (B, L), as a cpair array
+    (B, F, T, 2); exact istft inverse.
 
     FlowDec-final geometry: n_fft=1534 → 768 bins, n_hops=4 → hop 384, hann
     (compressed_complex_stft_final.yaml). `method` picks the DFT
@@ -66,15 +68,15 @@ class ComplexSTFT(FeatureExtractor):
         return self.stft_config.n_bins
 
     def forward(self, x, comp_eps=None):
-        window = self.stft_config.window(jnp.real(x).dtype)
-        return stft(
+        window = self.stft_config.window(x.dtype)
+        return stft_pair(
             x, window, hop_length=self.stft_config.hop,
             center=self.stft_config.center, method=self.method,
         )
 
     def invert(self, X, orig_length=None):
-        window = self.stft_config.window(jnp.real(X).dtype)
-        return istft(
+        window = self.stft_config.window(X.dtype)
+        return istft_pair(
             X, window, hop_length=self.stft_config.hop,
             center=self.stft_config.center, length=orig_length, method=self.method,
         )
@@ -88,10 +90,10 @@ class CompressAmplitudes(FeatureExtractor):
     scale_factor: float  # beta
 
     def forward(self, X, comp_eps=None):
-        return compress(X, self.compression_exponent, self.scale_factor, comp_eps)
+        return compress_pair(X, self.compression_exponent, self.scale_factor, comp_eps)
 
     def invert(self, X, orig_length=None):
-        return decompress(X, self.compression_exponent, self.scale_factor)
+        return decompress_pair(X, self.compression_exponent, self.scale_factor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,10 +131,10 @@ class AmplitudeCompressedComplexSTFT(FeatureExtractor):
 
     def forward(self, x, comp_eps=None):
         X = self.complex_stft.forward(x)
-        return compress(X, self.alpha, self.beta, comp_eps)
+        return compress_pair(X, self.alpha, self.beta, comp_eps)
 
     def invert(self, X, orig_length=None):
-        X = decompress(X, self.alpha, self.beta)
+        X = decompress_pair(X, self.alpha, self.beta)
         return self.complex_stft.invert(X, orig_length=orig_length)
 
 

@@ -20,7 +20,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from flowdec_tpu.flow.cfm import randn_like, sample_location_and_conditional_flow
+from flowdec_tpu.flow.cfm import crandn_like, sample_location_and_conditional_flow
+from flowdec_tpu.ops.cpair import cabs2
 from flowdec_tpu.flow.samplers import ode_solve
 from flowdec_tpu.models.base import EnhancementModel, PreprocessInfo
 
@@ -30,7 +31,7 @@ __all__ = ["FlowModel"]
 class FlowModel(EnhancementModel):
     """Conditional flow matching over amplitude-compressed complex STFTs."""
 
-    # sigma curves are pytree leaves: scalar () or per-band (F, 1)
+    # sigma curves are pytree leaves: scalar () or per-band (F, 1, 1)
     sigma_x: jax.Array = flax.struct.field(default_factory=lambda: jnp.asarray(0.0))
     sigma_y: jax.Array = flax.struct.field(default_factory=lambda: jnp.asarray(0.66))
     cfm_sigma: float = flax.struct.field(pytree_node=False, default=0.0)
@@ -39,9 +40,9 @@ class FlowModel(EnhancementModel):
     # --- noise helpers ---
 
     def _noise(self, key: jax.Array, ref: jax.Array, sigma: jax.Array) -> jax.Array:
-        """sigma · CN(0,1), with sigma scalar or per-band (reference _get_noise
-        model.py:530-536)."""
-        return (sigma * randn_like(key, ref)).astype(ref.dtype)
+        """sigma · CN(0,1) cpair noise, with sigma scalar or per-band
+        (reference _get_noise model.py:530-536)."""
+        return (sigma * crandn_like(key, ref)).astype(ref.dtype)
 
     # --- training loss ---
 
@@ -70,12 +71,12 @@ class FlowModel(EnhancementModel):
             params, xt, Ymu, t, train=train, rngs={"dropout": k_drop}
         )
 
-        errs = jnp.abs(vt - ut)
+        # |Vt - Ut|² per complex element (reference takes abs() of the complex
+        # residual, model.py:437); optional per-bin/-band/-frame weighting.
+        sq_errs = cabs2(vt - ut)
         if self.error_weighting is not None:
-            errs = self.error_weighting * errs
-        per_sample = jnp.mean(
-            jnp.square(errs).reshape(errs.shape[0], -1), axis=1
-        )
+            sq_errs = jnp.square(self.error_weighting) * sq_errs
+        per_sample = jnp.mean(sq_errs.reshape(sq_errs.shape[0], -1), axis=1)
 
         # Per-sample NaN handling: masked mean instead of dropping samples
         # (data-dependent shapes don't jit). All-NaN ⇒ loss is NaN, which the
@@ -107,7 +108,7 @@ class FlowModel(EnhancementModel):
         batch = Y.shape[0]
 
         def vf(t_scalar, xt):
-            t_vec = jnp.full((batch,), t_scalar, dtype=jnp.real(Y).dtype)
+            t_vec = jnp.full((batch,), t_scalar, dtype=Y.dtype)
             return self.apply_backbone(params, xt, Y, t_vec)
 
         init = Y + sigma_fac * self._noise(key, Y, self.sigma_y)

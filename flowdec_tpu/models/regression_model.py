@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from flowdec_tpu.models.base import EnhancementModel
+from flowdec_tpu.ops.cpair import cabs2
 
 __all__ = ["RegressionModel"]
 
@@ -30,9 +31,8 @@ class RegressionModel(EnhancementModel):
         X = jax.lax.stop_gradient(X)
         t = jnp.zeros((X.shape[0],))
         x_hat = self.apply_backbone(params, Y, Y, t, train=train, rngs={"dropout": key})
-        per_sample = jnp.mean(
-            jnp.square(jnp.abs(x_hat - X)).reshape(X.shape[0], -1), axis=1
-        )
+        sq = cabs2(x_hat - X)
+        per_sample = jnp.mean(sq.reshape(X.shape[0], -1), axis=1)
         return jnp.mean(per_sample), {
             "per_sample": per_sample,
             "n_nan": jnp.sum(~jnp.isfinite(per_sample)),

@@ -14,7 +14,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from flowdec_tpu.flow.cfm import randn_like
+from flowdec_tpu.ops.cpair import cabs2, crandn_like
 from flowdec_tpu.flow.samplers import pc_sample, probability_flow_sample
 from flowdec_tpu.flow.sdes import BaseSDE, OUVESDE, _bstd
 from flowdec_tpu.models.base import EnhancementModel
@@ -58,14 +58,14 @@ class ScoreModel(EnhancementModel):
 
         mean = self.sde.mean(Xs, ts, Ys)
         std = _bstd(self.sde.std(ts), mean)
-        zs = randn_like(k_z, Ys)
+        zs = crandn_like(k_z, Ys)
         xts = mean + zs * std
 
         score_est = self.score(params, xts, Ys, ts, train=train, rngs={"dropout": k_drop})
         score_gt = -zs / std
         err = std * (score_est - score_gt)  # std-weighting stabilizer
 
-        losses = jnp.square(jnp.abs(err))
+        losses = cabs2(err)  # |err|² per complex element
         # Sum over features, average over batch, ×0.5 (reference model.py:610)
         per_sample = 0.5 * jnp.sum(losses.reshape(batch_size, -1), axis=-1)
         loss = jnp.mean(per_sample)
@@ -101,11 +101,13 @@ class ScoreModel(EnhancementModel):
                 n_steps=n_steps, predictor=predictor, corrector=corrector,
                 snr=snr, corrector_steps=corrector_steps,
                 probability_flow=probability_flow, denoise=denoise, eps=self.t_eps,
+                noise_fn=crandn_like,
             )
         elif sampler_type == "ode":
             X_hat, _nfe = probability_flow_sample(
                 key, self.sde, score_fn, Y,
                 n_steps=n_steps, solver=solver, denoise=denoise, eps=self.t_eps,
+                noise_fn=crandn_like,
             )
         else:
             raise ValueError(f"{sampler_type} is not a valid sampler type!")

@@ -30,8 +30,8 @@ def from_file(
     factor: float = 1.0,
     kernel_bandwidth: Optional[float] = None,
 ) -> np.ndarray:
-    """Load a per-band sigma curve; returns shape (n_bands, 1) — broadcasts
-    over the time axis of (B, F, T) features.
+    """Load a per-band sigma curve; returns shape (n_bands, 1, 1) — broadcasts
+    over the time and pair axes of (B, F, T, 2) cpair features.
 
     kernel_bandwidth is in frequency-band units (so its meaning depends on the
     curve's resolution, as in the reference).
@@ -45,17 +45,20 @@ def from_file(
         f"Loaded sigma_y curve with factor={factor}, "
         f"kernel_bandwidth={kernel_bandwidth} from file {filename}"
     )
-    return (factor * curve)[:, None].astype(np.float32)
+    return (factor * curve)[:, None, None].astype(np.float32)
 
 
 def as_band_sigma(sigma: Union[float, np.ndarray, jax.Array]) -> jax.Array:
-    """Normalize a sigma spec (scalar or per-band curve) to a broadcastable
-    array: scalar → (), curve (F,) or (F,1) → (F,1)."""
+    """Normalize a sigma spec (scalar or per-band curve) to an array that
+    broadcasts over cpair features (B, F, T, 2): scalar → (), curve (F,) /
+    (F,1) / (F,1,1) → (F,1,1)."""
     arr = jnp.asarray(sigma, dtype=jnp.float32)
     if arr.ndim == 0:
         return arr
     if arr.ndim == 1:
-        return arr[:, None]
+        return arr[:, None, None]
     if arr.ndim == 2 and arr.shape[-1] == 1:
+        return arr[:, :, None]
+    if arr.ndim == 3 and arr.shape[-2:] == (1, 1):
         return arr
     raise ValueError(f"Cannot interpret sigma of shape {arr.shape}")

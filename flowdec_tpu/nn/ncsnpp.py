@@ -3,10 +3,14 @@
 Capability parity with /root/reference/flowdec/backbones/ncsnpp.py (NCSNpp,
 :49-411): complex x_t and conditioning y enter as 4 real channels
 (x.re, x.im, y.re, y.im), a scalar t enters through a Gaussian-Fourier (or
-positional) embedding + 2-layer MLP, and the output's 2 real channels are
-recombined into a complex field.
+positional) embedding + 2-layer MLP, and the output's 2 real channels form a
+complex field.
 
 Design departures from the reference (deliberate, TPU-first):
+  * Complex tensors never exist: inputs/outputs are cpair arrays
+    (B, F, T, 2) — see ops/cpair.py. TPUs have no complex ALU, and the
+    reference itself flattened complex→channels at the backbone boundary
+    anyway; we keep that representation end-to-end.
   * The fragile flat ModuleList walked by a manual m_idx counter
     (ncsnpp.py:254-399) is replaced by a structured down/bottleneck/up graph;
     module names are stable and the wiring is checked by construction.
@@ -122,12 +126,12 @@ class NCSNpp(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # complex (B, F, T)
-        y: jax.Array,  # complex (B, F, T)
+        x: jax.Array,  # cpair (B, F, T, 2)
+        y: jax.Array,  # cpair (B, F, T, 2)
         t: jax.Array,  # (B,) or scalar
         *,
         train: bool = False,
-    ) -> jax.Array:
+    ) -> jax.Array:  # cpair (B, F, T, 2)
         cfg = self.config
         act = get_act(cfg.nonlinearity)
         num_resolutions = len(cfg.ch_mult)
@@ -145,10 +149,10 @@ class NCSNpp(nn.Module):
         if t.ndim == 0:
             t = t[None]
 
-        # Complex (x, y) → 4 real channels, NHWC (reference _preprocess :401-404).
-        h = jnp.stack(
-            [jnp.real(x), jnp.imag(x), jnp.real(y), jnp.imag(y)], axis=-1
-        )
+        # cpair (x, y) → 4 real channels (x.re, x.im, y.re, y.im), NHWC
+        # (reference _preprocess :401-404).
+        assert x.shape[-1] == 2 and y.shape[-1] == 2, "expected cpair inputs"
+        h = jnp.concatenate([x, y], axis=-1)
         input_dtype = h.dtype
 
         # --- time embedding ---
@@ -322,7 +326,7 @@ class NCSNpp(nn.Module):
                 cfg.num_channels, init_scale=cfg.init_scale, name="conv_out"
             )(h)
 
-        # Final conv to exactly 2 channels, then recombine to complex
+        # Final conv to exactly 2 channels = the output cpair
         # (reference output_layer ncsnpp.py:100 + _postprocess :407-411).
         out = nn.Conv(
             2,
@@ -331,5 +335,4 @@ class NCSNpp(nn.Module):
             use_bias=cfg.output_bias,
             name="output_layer",
         )(h.astype(input_dtype))
-        out_f32 = out.astype(jnp.float32)
-        return jax.lax.complex(out_f32[..., 0], out_f32[..., 1])
+        return out.astype(jnp.float32)

@@ -1,10 +1,27 @@
 """Pure-function DSP and resampling ops (L0/L3 of the reference layer map)."""
 
-from flowdec_tpu.ops.compression import compress, decompress
+from flowdec_tpu.ops.compression import compress, compress_pair, decompress, decompress_pair
+from flowdec_tpu.ops.cpair import (
+    cabs,
+    cabs2,
+    cmul,
+    crandn,
+    crandn_like,
+    from_cpair,
+    to_cpair,
+)
 from flowdec_tpu.ops.chunking import extract_chunks, merge_chunks, plan_chunks
 from flowdec_tpu.ops.padding import normalize_noisy, pad_spec, padded_num_frames, unpad_spec
 from flowdec_tpu.ops.resample import resample
-from flowdec_tpu.ops.stft import StftConfig, get_window, hann_window, istft, stft
+from flowdec_tpu.ops.stft import (
+    StftConfig,
+    get_window,
+    hann_window,
+    istft,
+    istft_pair,
+    stft,
+    stft_pair,
+)
 from flowdec_tpu.ops.upfirdn import (
     conv_downsample_2d,
     downsample_2d,
@@ -18,7 +35,18 @@ from flowdec_tpu.ops.upfirdn import (
 
 __all__ = [
     "compress",
+    "compress_pair",
     "decompress",
+    "decompress_pair",
+    "cabs",
+    "cabs2",
+    "cmul",
+    "crandn",
+    "crandn_like",
+    "from_cpair",
+    "to_cpair",
+    "istft_pair",
+    "stft_pair",
     "extract_chunks",
     "merge_chunks",
     "plan_chunks",

@@ -3,7 +3,8 @@
 Functional equivalents of pad_spec / normalize_noisy
 (/root/reference/flowdec/util/other.py:25-82). JAX-idiomatic: instead of
 returning an undo *closure*, padding returns the original length so callers
-can slice — closures don't jit.
+can slice — closures don't jit. The time axis is selectable because cpair
+features (B, F, T, 2) carry time at axis -2.
 """
 
 from __future__ import annotations
@@ -25,24 +26,29 @@ def padded_num_frames(n_frames: int, multiple: int = 64) -> int:
 
 
 def pad_spec(
-    Y: jax.Array, mode: str = "zero", multiple: int = 64
+    Y: jax.Array, mode: str = "zero", multiple: int = 64, axis: int = -1
 ) -> Tuple[jax.Array, int]:
-    """Pad the time axis (last) of a spectrogram to a multiple of `multiple`.
+    """Pad the time axis of a spectrogram to a multiple of `multiple`.
 
     The reference pads to 64 frames so the 2^k U-Net downsampling divides
     evenly (util/other.py:25-52). Returns (padded, original_n_frames).
     """
-    T = Y.shape[-1]
+    axis = axis % Y.ndim
+    T = Y.shape[axis]
     num_pad = padded_num_frames(T, multiple) - T
     if num_pad == 0:
         return Y, T
-    pad_widths = [(0, 0)] * (Y.ndim - 1) + [(0, num_pad)]
+    pad_widths = [(0, 0)] * Y.ndim
+    pad_widths[axis] = (0, num_pad)
     return jnp.pad(Y, pad_widths, mode=_PAD_MODES[mode]), T
 
 
-def unpad_spec(Y: jax.Array, orig_frames: int) -> jax.Array:
+def unpad_spec(Y: jax.Array, orig_frames: int, axis: int = -1) -> jax.Array:
     """Undo :func:`pad_spec` by cropping the time axis."""
-    return Y[..., :orig_frames]
+    axis = axis % Y.ndim
+    idx = [slice(None)] * Y.ndim
+    idx[axis] = slice(0, orig_frames)
+    return Y[tuple(idx)]
 
 
 def normalize_noisy(

@@ -6,12 +6,16 @@ onesided spectra, window length == n_fft, istft with overlap-add normalized by
 the squared-window envelope and cropped to ``length``.
 
 TPU-first design notes:
+  * Spectra are produced in the cpair representation — real arrays
+    (..., F, T, 2) with a trailing (re, im) axis — because TPUs have no
+    complex ALU (see ops/cpair.py). `stft`/`istft` complex wrappers exist for
+    host-side/test convenience.
   * FlowDec's n_fft is 1534 — NOT a power of two (768 onesided bins, chosen so
     the U-Net sees a 768-tall image). Non-pow2 FFTs can hit slow paths on TPU,
-    so the default implementation here is a *matmul DFT*: framing → one
+    so the default implementation is a *matmul DFT*: framing → one
     (frames × n_fft) @ (n_fft × n_bins) matmul per real/imag part, which maps
     straight onto the MXU and fuses with the window multiply. `method="fft"`
-    uses jnp.fft.rfft instead (exact, preferred on CPU).
+    uses jnp.fft.rfft instead (exact; CPU-only since it yields complex).
   * Overlap-add is expressed as K=ceil(n_fft/hop) shifted block adds (static
     Python loop, fully vectorized) instead of scatter-adds, so XLA sees only
     dense slicing and additions.
@@ -31,6 +35,8 @@ import numpy as np
 __all__ = [
     "hann_window",
     "get_window",
+    "stft_pair",
+    "istft_pair",
     "stft",
     "istft",
     "StftConfig",
@@ -75,7 +81,8 @@ def _n_frames(length: int, n_fft: int, hop: int, center: bool) -> int:
     return 1 + (padded - n_fft) // hop
 
 
-def _frame_indices(length_padded: int, n_fft: int, hop: int, n_frames: int) -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _frame_indices(n_fft: int, hop: int, n_frames: int) -> np.ndarray:
     starts = np.arange(n_frames) * hop
     return starts[:, None] + np.arange(n_fft)[None, :]
 
@@ -121,10 +128,11 @@ def _resolve_method(method: str) -> str:
         return method
     platform = jax.default_backend()
     # Matmul-DFT rides the MXU; on CPU the pocketfft path is faster/exact.
-    return "matmul" if platform == "tpu" else "fft"
+    # (On TPU it is also the only option: complex dtypes are unsupported.)
+    return "fft" if platform == "cpu" else "matmul"
 
 
-def stft(
+def stft_pair(
     x: jax.Array,
     window: jax.Array,
     *,
@@ -133,7 +141,7 @@ def stft(
     pad_mode: str = "reflect",
     method: str = "auto",
 ) -> jax.Array:
-    """Onesided complex STFT of a real signal.
+    """Onesided STFT of a real signal, in cpair representation.
 
     Args:
         x: real signal, shape (..., length).
@@ -141,34 +149,35 @@ def stft(
         hop_length: frame hop.
         center: reflect-pad by n_fft//2 on both sides (torch.stft center=True).
         pad_mode: padding mode for center padding.
-        method: "matmul" (MXU DFT), "fft" (jnp.fft.rfft), or "auto".
+        method: "matmul" (MXU DFT), "fft" (jnp.fft.rfft; complex intermediate,
+            CPU only), or "auto".
 
     Returns:
-        Complex spectrogram of shape (..., n_bins, n_frames) — frequency first,
-        matching torch.stft output layout.
+        (..., n_bins, n_frames, 2) — frequency-first layout matching
+        torch.stft, with a trailing (re, im) axis.
     """
     n_fft = window.shape[0]
-    length = x.shape[-1]
     if center:
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_widths, mode=pad_mode)
     n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
-    idx = _frame_indices(x.shape[-1], n_fft, hop_length, n_frames)
+    idx = _frame_indices(n_fft, hop_length, n_frames)
     frames = x[..., idx]  # (..., n_frames, n_fft)
     frames = frames * window  # broadcast over trailing n_fft
 
     method = _resolve_method(method)
     if method == "fft":
         spec = jnp.fft.rfft(frames, axis=-1)  # (..., n_frames, n_bins)
+        pair = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
     elif method == "matmul":
         cos_m, sin_m = _dft_matrices(n_fft, str(frames.dtype))
         re = jnp.matmul(frames, cos_m, precision=_DFT_PRECISION)
         im = -jnp.matmul(frames, sin_m, precision=_DFT_PRECISION)
-        spec = jax.lax.complex(re, im)
+        pair = jnp.stack([re, im], axis=-1)  # (..., n_frames, n_bins, 2)
     else:
         raise ValueError(f"Unknown stft method {method!r}")
-    return jnp.swapaxes(spec, -1, -2)  # (..., n_bins, n_frames)
+    return jnp.swapaxes(pair, -2, -3)  # (..., n_bins, n_frames, 2)
 
 
 def _overlap_add(frames: jax.Array, hop: int, out_length: int) -> jax.Array:
@@ -192,7 +201,7 @@ def _overlap_add(frames: jax.Array, hop: int, out_length: int) -> jax.Array:
     return out[..., :out_length]
 
 
-def istft(
+def istft_pair(
     spec: jax.Array,
     window: jax.Array,
     *,
@@ -201,10 +210,10 @@ def istft(
     length: Optional[int] = None,
     method: str = "auto",
 ) -> jax.Array:
-    """Inverse of :func:`stft`, matching torch.istft semantics.
+    """Inverse of :func:`stft_pair`, matching torch.istft semantics.
 
     Args:
-        spec: complex spectrogram (..., n_bins, n_frames).
+        spec: cpair spectrogram (..., n_bins, n_frames, 2).
         window: synthesis window (same as analysis), length n_fft.
         hop_length: frame hop.
         center: whether the forward STFT used center padding.
@@ -214,17 +223,17 @@ def istft(
         Real signal of shape (..., length).
     """
     n_fft = window.shape[0]
-    n_frames = spec.shape[-1]
-    spec = jnp.swapaxes(spec, -1, -2)  # (..., n_frames, n_bins)
+    n_frames = spec.shape[-2]
+    spec = jnp.swapaxes(spec, -2, -3)  # (..., n_frames, n_bins, 2)
+    re, im = spec[..., 0], spec[..., 1]
 
     method = _resolve_method(method)
     if method == "fft":
-        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
+        frames = jnp.fft.irfft(jax.lax.complex(re, im), n=n_fft, axis=-1)
     elif method == "matmul":
-        real_dt = str(jnp.real(spec).dtype)
-        cos_m, sin_m = _idft_matrices(n_fft, real_dt)
-        frames = jnp.matmul(jnp.real(spec), cos_m, precision=_DFT_PRECISION) - jnp.matmul(
-            jnp.imag(spec), sin_m, precision=_DFT_PRECISION
+        cos_m, sin_m = _idft_matrices(n_fft, str(re.dtype))
+        frames = jnp.matmul(re, cos_m, precision=_DFT_PRECISION) - jnp.matmul(
+            im, sin_m, precision=_DFT_PRECISION
         )
     else:
         raise ValueError(f"Unknown istft method {method!r}")
@@ -252,6 +261,22 @@ def istft(
     elif length is not None:
         signal = signal[..., :length]
     return signal
+
+
+def stft(x, window, *, hop_length, center=True, pad_mode="reflect", method="auto"):
+    """Complex-output wrapper over :func:`stft_pair` (host/test convenience)."""
+    p = stft_pair(
+        x, window, hop_length=hop_length, center=center, pad_mode=pad_mode, method=method
+    )
+    return jax.lax.complex(p[..., 0], p[..., 1])
+
+
+def istft(spec, window, *, hop_length, center=True, length=None, method="auto"):
+    """Complex-input wrapper over :func:`istft_pair` (host/test convenience)."""
+    p = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    return istft_pair(
+        p, window, hop_length=hop_length, center=center, length=length, method=method
+    )
 
 
 @dataclasses.dataclass(frozen=True)

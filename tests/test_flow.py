@@ -18,6 +18,7 @@ from flowdec_tpu.flow import (
     OUVESDE,
     OUVPSDE,
     ReverseSDE,
+    crandn_like,
     expi_negative,
     ode_solve,
     pc_sample,
@@ -26,29 +27,30 @@ from flowdec_tpu.flow import (
     sample_location_and_conditional_flow,
     solver_nfe,
 )
+from flowdec_tpu.ops.cpair import cabs, cabs2
 
 
-def test_randn_like_complex_unit_variance():
-    """Complex noise must be CN(0,1) — E|z|^2 = 1 — to match torch.randn_like
+def test_crandn_unit_power():
+    """cpair noise must be CN(0,1) — E|z|^2 = 1 — to match torch.randn_like
     on complex tensors (noise scale parity with sigma_y calibration)."""
-    x = jnp.zeros((200, 200), dtype=jnp.complex64)
-    z = randn_like(jax.random.PRNGKey(0), x)
-    power = float(jnp.mean(jnp.abs(z) ** 2))
+    x = jnp.zeros((200, 200, 2), dtype=jnp.float32)
+    z = crandn_like(jax.random.PRNGKey(0), x)
+    power = float(jnp.mean(cabs2(z)))
     assert abs(power - 1.0) < 0.02
     # real/imag each have variance 1/2
-    assert abs(float(jnp.var(jnp.real(z))) - 0.5) < 0.02
+    assert abs(float(jnp.var(z[..., 0])) - 0.5) < 0.02
 
 
 def test_cfm_bridge():
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    x0 = randn_like(k1, jnp.zeros((4, 8, 8), jnp.complex64))
-    x1 = randn_like(k2, jnp.zeros((4, 8, 8), jnp.complex64))
+    x0 = crandn_like(k1, jnp.zeros((4, 8, 8, 2)))
+    x1 = crandn_like(k2, jnp.zeros((4, 8, 8, 2)))
     t = jax.random.uniform(k3, (4,))
     t_out, xt, ut = sample_location_and_conditional_flow(key, x0, x1, t, sigma=0.0)
     np.testing.assert_array_equal(np.asarray(t_out), np.asarray(t))
     np.testing.assert_allclose(np.asarray(ut), np.asarray(x1 - x0), atol=1e-6)
-    expect = (1 - t[:, None, None]) * x0 + t[:, None, None] * x1
+    expect = (1 - t[:, None, None, None]) * x0 + t[:, None, None, None] * x1
     np.testing.assert_allclose(np.asarray(xt), np.asarray(expect), atol=1e-6)
     # endpoint consistency
     _, xt0, _ = sample_location_and_conditional_flow(key, x0, x1, jnp.zeros(4))
@@ -138,19 +140,21 @@ def test_ode_trajectory_shape():
 
 def test_pc_sampler_gaussian_recovery():
     """With the exact score of the OUVE perturbation kernel around a known x0,
-    PC sampling from y must come back near x0."""
+    PC sampling from y must come back near x0 (cpair features, CN noise)."""
     sde = OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.82, N=50)
-    x_target = jnp.full((8, 4, 4), 0.5, dtype=jnp.complex64)
-    y = jnp.full((8, 4, 4), -0.5, dtype=jnp.complex64)
+    x_target = jnp.full((8, 4, 4, 2), 0.5, dtype=jnp.float32)
+    y = jnp.full((8, 4, 4, 2), -0.5, dtype=jnp.float32)
 
     def exact_score(x, y_, t):
         mean = sde.mean(x_target, t, y_)
-        std = sde.std(t).reshape(-1, 1, 1)
-        return -(x - mean) / std**2
+        std = sde.std(t).reshape(-1, 1, 1, 1)
+        # CN noise: per-component variance is std²/2 → score = -(x-mean)/(std²/2)
+        return -(x - mean) / (std**2 / 2)
 
     x_hat, nfe = pc_sample(
         jax.random.PRNGKey(0), sde, exact_score, y,
         n_steps=50, predictor="reverse_diffusion", corrector="ald", snr=0.5,
+        noise_fn=crandn_like,
     )
     assert nfe == 50 * 2
     err = float(jnp.mean(jnp.abs(x_hat - x_target)))
@@ -159,8 +163,8 @@ def test_pc_sampler_gaussian_recovery():
 
 def test_probability_flow_sampler_gaussian_recovery():
     sde = OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.82, N=50)
-    x_target = jnp.full((8, 4, 4), 0.5, dtype=jnp.complex64)
-    y = jnp.full((8, 4, 4), -0.5, dtype=jnp.complex64)
+    x_target = jnp.full((8, 4, 4), 0.5, dtype=jnp.float32)
+    y = jnp.full((8, 4, 4), -0.5, dtype=jnp.float32)
 
     def exact_score(x, y_, t):
         mean = sde.mean(x_target, t, y_)

@@ -66,8 +66,7 @@ def test_preprocess_postprocess_roundtrip(batch):
     model = _make_flow_model()
     _, y = batch
     Y, _, info = model.preprocess(y)
-    assert Y.shape == (2, 64, 128)  # padded to multiple of 64
-    assert jnp.iscomplexobj(Y)
+    assert Y.shape == (2, 64, 128, 2)  # cpair, padded to multiple of 64
     back = model.postprocess(Y, info)
     np.testing.assert_allclose(np.asarray(back), np.asarray(y), atol=1e-4)
 
@@ -199,5 +198,5 @@ def test_released_sigma_curves_load():
     for name, factor in (("flowdec_autoparams_75m.npy", 1.0),
                          ("flowdec_autoparams_25s.npy", 1.0)):
         curve = sigma_models.from_file(name, factor=factor, kernel_bandwidth=3)
-        assert curve.shape == (768, 1)
+        assert curve.shape == (768, 1, 1)
         assert 0.1 < curve.min() < curve.max() < 0.7

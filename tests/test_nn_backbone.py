@@ -26,10 +26,7 @@ def _complex_inputs(key, f=F, t_frames=T):
     kx, ky = jax.random.split(key)
     x = jax.random.normal(kx, (B, f, t_frames, 2))
     y = jax.random.normal(ky, (B, f, t_frames, 2))
-    return (
-        jax.lax.complex(x[..., 0], x[..., 1]),
-        jax.lax.complex(y[..., 0], y[..., 1]),
-    )
+    return x, y
 
 
 @pytest.fixture(scope="module")
@@ -46,16 +43,15 @@ def test_forward_shape_dtype(flowdec_model):
     x, y = _complex_inputs(jax.random.PRNGKey(2))
     t = jnp.full((B,), 0.3)
     out = model.apply(params, x, y, t)
-    assert out.shape == (B, F, T)
-    assert jnp.iscomplexobj(out)
-    assert np.all(np.isfinite(np.asarray(out.real)))
+    assert out.shape == (B, F, T, 2)  # cpair output
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_scalar_t_accepted(flowdec_model):
     model, params = flowdec_model
     x, y = _complex_inputs(jax.random.PRNGKey(2))
     out = model.apply(params, x, y, jnp.asarray(0.5))
-    assert out.shape == (B, F, T)
+    assert out.shape == (B, F, T, 2)
 
 
 def test_param_count_75m_scale(flowdec_model):
@@ -98,7 +94,7 @@ def test_sgmse_backbone_with_bottleneck_attn():
     t = jnp.full((B,), 0.5)
     params = model.init(jax.random.PRNGKey(6), x, y, t)
     out = model.apply(params, x, y, t)
-    assert out.shape == (B, 768, 64)
+    assert out.shape == (B, 768, 64, 2)
 
 
 @pytest.mark.parametrize(
@@ -129,8 +125,8 @@ def test_config_variants_run(overrides):
     t = jnp.full((B,), 0.5)
     params = model.init(jax.random.PRNGKey(8), x, y, t)
     out = model.apply(params, x, y, t)
-    assert out.shape == (B, 32, 16)
-    assert np.all(np.isfinite(np.asarray(out.real)))
+    assert out.shape == (B, 32, 16, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_jit_and_grad():
@@ -146,7 +142,7 @@ def test_jit_and_grad():
     @jax.jit
     def loss_fn(p):
         out = model.apply(p, x, y, t)
-        return jnp.mean(jnp.abs(out - x) ** 2)
+        return jnp.mean(jnp.square(out - x))
 
     g = jax.grad(loss_fn)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
