@@ -1,0 +1,135 @@
+"""Orbax checkpointing: train state (params + EMA + optimizer) + resolved config.
+
+Capability parity with the reference's EMAModelCheckpoint + resume scheme
+(/root/reference/flowdec/callbacks/ema.py:183-233, train.py:48-68,139-186):
+  * every checkpoint carries BOTH raw and EMA weights (our TrainState always
+    holds both — no `_pl_ema_state_dict` sidecar needed);
+  * the fully-resolved config is stored alongside, enabling config-free
+    reload (`load_model(ckpt_dir)`), like the reference's
+    save_hyperparameters-into-checkpoint recipe;
+  * two cadences: a rolling "last" checkpoint + keep-all snapshots every
+    50k steps (config/callbacks/ema_last_and_every_50k_steps.yaml);
+  * preemption-safe auto-resume: `latest_step` + `restore` pick up where a
+    killed run stopped (the SLURM-requeue capability, TPU-native).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from flowdec_tpu.train.state import TrainState
+from flowdec_tpu.utils.logging import log
+
+__all__ = ["CheckpointManager", "save_config", "load_config_json", "load_model"]
+
+
+def save_config(directory: str, cfg: Dict[str, Any]) -> None:
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+
+
+def load_config_json(directory: str) -> Dict[str, Any]:
+    with open(os.path.join(directory, "config.json")) as f:
+        return json.load(f)
+
+
+class CheckpointManager:
+    """Dual-cadence Orbax manager: rolling `last/` + keep-all `snapshots/`."""
+
+    def __init__(
+        self,
+        directory: str,
+        *,
+        last_every_n_steps: int = 1000,
+        snapshot_every_n_steps: int = 50000,
+        keep_snapshots: Optional[int] = None,
+        config: Optional[Dict[str, Any]] = None,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.last_every = last_every_n_steps
+        self.snapshot_every = snapshot_every_n_steps
+        if config is not None:
+            save_config(self.directory, config)
+
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        self._snapshots = ocp.CheckpointManager(
+            os.path.join(self.directory, "snapshots"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep_snapshots),
+        )
+
+    # --- saving ---
+
+    def maybe_save(self, state: TrainState, *, force: bool = False) -> None:
+        step = int(state.step)
+        if force or (self.last_every and step % self.last_every == 0):
+            self._last.save(step, args=ocp.args.StandardSave(state))
+        if self.snapshot_every and step % self.snapshot_every == 0 and step > 0:
+            self._snapshots.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._last.wait_until_finished()
+        self._snapshots.wait_until_finished()
+
+    # --- restoring ---
+
+    def latest_step(self) -> Optional[int]:
+        steps = [s for s in (self._last.latest_step(), self._snapshots.latest_step()) if s is not None]
+        return max(steps) if steps else None
+
+    def restore(self, target: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of `target` (abstract or concrete)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found under {self.directory}")
+        mgr = (
+            self._last
+            if self._last.latest_step() is not None and step == self._last.latest_step()
+            else self._snapshots
+        )
+        if step not in (mgr.all_steps() or []):
+            mgr = self._snapshots if mgr is self._last else self._last
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        log.info(f"Restored checkpoint at step {step} from {self.directory}")
+        return restored
+
+    def close(self) -> None:
+        self._last.close()
+        self._snapshots.close()
+
+
+def load_model(
+    ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None
+) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Config-free reload: (model, weights, config) from a checkpoint dir.
+
+    The reference's working recipe is instantiate-from-stored-config +
+    load EMA state dict (demo.ipynb cell 3 — its in-code
+    load_from_checkpoint is commented out, model.py:352-385). Here it is a
+    single first-class call: `ema=True` returns EMA weights for inference,
+    `ema=False` raw weights for finetuning.
+    """
+    from flowdec_tpu.train.config import instantiate, resolve_interpolations
+    from flowdec_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = load_config_json(ckpt_dir)
+    model = instantiate(resolve_interpolations(cfg)["model"])
+
+    # Build an abstract target with the right structure, then restore.
+    optimizer = make_optimizer()
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state, step=step)
+    mgr.close()
+    return model, state.eval_params(ema=ema), cfg

@@ -1,0 +1,97 @@
+"""Config composition/instantiation tests: the 8 shipped experiment configs
+must compose and instantiate into real model objects."""
+
+import numpy as np
+import pytest
+
+from flowdec_tpu.models import FlowModel, RegressionModel, ScoreModel
+from flowdec_tpu.train.config import apply_overrides, instantiate, load_config
+
+ALL_EXPERIMENTS = [
+    ("flowdec_75m", FlowModel),
+    ("flowdec_25s", FlowModel),
+    ("flowdec_75m_globsigy", FlowModel),
+    ("flowdec_25s_globsigy", FlowModel),
+    ("flowdec_75s", FlowModel),
+    ("flowdec_75s_globsigy", FlowModel),
+    ("baseline_scoredec_75s", ScoreModel),
+    ("baseline_regression_75s", RegressionModel),
+    ("ablation_higheralpha_75s", FlowModel),
+    ("ablation_higheralpha_75s_globsigy", FlowModel),
+    ("ablation_nocqt_nowav_75s", FlowModel),
+]
+
+
+def test_compose_flowdec_75m():
+    cfg = load_config("flowdec_75m")
+    assert cfg["sampling_rate"] == 48000
+    assert cfg["model"]["feature_extractor"]["n_fft"] == 1534
+    assert cfg["model"]["feature_extractor"]["alpha"] == 0.3
+    # experiment overrides group default beta=0.5 → 0.33
+    assert cfg["model"]["feature_extractor"]["beta"] == 0.33
+    # interpolation resolved
+    assert cfg["model"]["feature_extractor"]["sampling_rate"] == 48000
+    assert cfg["model"]["backbone"]["nf"] == 64
+    assert cfg["model"]["backbone"]["ch_mult"] == [4, 4, 4, 2]
+    # eval variants overridden to midpoint 6/25
+    assert cfg["model"]["eval_variants"][0]["enhance_kwargs"]["solver"] == "midpoint"
+    assert cfg["datamodule"]["batch_size"] == 8
+    assert cfg["trainer_options"]["max_steps"] == 1000000
+
+
+def test_overrides():
+    cfg = load_config("flowdec_75m", overrides=["model.lr=2e-4", "datamodule.batch_size=4"])
+    assert cfg["model"]["lr"] == 2e-4
+    assert cfg["datamodule"]["batch_size"] == 4
+
+
+@pytest.mark.parametrize("name,cls", ALL_EXPERIMENTS)
+def test_instantiate_all_experiments(name, cls):
+    cfg = load_config(name)
+    model = instantiate(cfg["model"])
+    assert isinstance(model, cls)
+    assert model.sampling_rate == 48000
+    assert model.feature_extractor.n_bins == 768
+    assert model.backbone.config.image_size == 768
+
+
+def test_per_band_sigma_instantiation():
+    cfg = load_config("flowdec_75m")
+    model = instantiate(cfg["model"])
+    assert model.sigma_y.shape == (768, 1, 1)
+    assert 0.1 < float(model.sigma_y.min()) < float(model.sigma_y.max()) < 0.7
+
+
+def test_globsigy_scalar():
+    cfg = load_config("flowdec_75m_globsigy")
+    model = instantiate(cfg["model"])
+    assert model.sigma_y.shape == ()
+    assert abs(float(model.sigma_y) - 0.66) < 1e-6
+
+
+def test_score_model_sde():
+    cfg = load_config("baseline_scoredec_75s")
+    model = instantiate(cfg["model"])
+    assert model.sde.sigma_max == 0.82
+    assert model.t_eps == 0.03
+
+
+def test_optimizer_partial():
+    cfg = load_config("flowdec_75m")
+    factory = instantiate(cfg["optimizer"])
+    opt = factory(learning_rate=1e-4)
+    assert hasattr(opt, "init") and hasattr(opt, "update")
+
+
+def test_all_model_defaults_composes():
+    """The reference's all_model_defaults references missing files
+    (SURVEY.md §5 latent config debt); ours must compose standalone."""
+    import os
+
+    from flowdec_tpu.train.config import DEFAULT_CONFIG_DIR, _compose
+
+    cfg = _compose(
+        os.path.join(DEFAULT_CONFIG_DIR, "model", "all_model_defaults.yaml"),
+        DEFAULT_CONFIG_DIR,
+    )
+    assert "eval_variants" in cfg and "eval_metrics" in cfg
