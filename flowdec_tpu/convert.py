@@ -1,0 +1,258 @@
+"""PyTorch-checkpoint → flowdec_tpu weight conversion.
+
+Enables users of the reference to bring their trained FlowDec/ScoreDec/
+regression checkpoints (PyTorch Lightning .ckpt, incl. the released
+FlowDec-25s/75m zips) to this framework.
+
+The reference NCSNpp stores all layers in one flat nn.ModuleList walked by a
+manual index (ncsnpp.py:102-252: `all_modules.{idx}.*` keys). This module
+re-derives that index layout from the backbone config (the construction order
+is a pure function of the config) and maps every torch tensor onto our
+structured Flax parameter tree with the appropriate layout transforms:
+
+    Conv2d  weight (O, I, kH, kW)  →  kernel (kH, kW, I, O)
+    Linear  weight (O, I)          →  kernel (I, O)
+    GroupNorm weight/bias          →  scale/bias
+    NIN W (I, O), b                →  identical
+    GaussianFourier W              →  identical
+
+Usage:
+    from flowdec_tpu.convert import convert_ncsnpp_state_dict
+    params = convert_ncsnpp_state_dict(torch_state_dict, backbone_config)
+    # torch_state_dict: e.g. ckpt["_pl_ema_state_dict"] with "backbone." keys
+
+(Loading the .ckpt file itself requires torch: `torch.load(path,
+map_location='cpu')` — torch is only needed for the one-time conversion.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from flowdec_tpu.nn.ncsnpp import NCSNppConfig
+
+__all__ = [
+    "reference_module_layout",
+    "convert_ncsnpp_state_dict",
+    "expected_torch_keys",
+]
+
+
+def reference_module_layout(cfg: NCSNppConfig) -> List[Tuple[str, str]]:
+    """Reproduce the reference's flat-ModuleList construction order.
+
+    Returns a list of (kind, our_scope) where list position == torch module
+    index in `all_modules`. Kinds: fourier, linear, conv, resblock, attn,
+    combine, resample (Up/Downsample module), groupnorm.
+    """
+    layout: List[Tuple[str, str]] = []
+    num_res = len(cfg.ch_mult)
+
+    # time embedding
+    if cfg.embedding_type == "fourier":
+        layout.append(("fourier", "fourier_proj"))
+    if cfg.conditional:
+        layout.append(("linear", "temb_dense_0"))
+        layout.append(("linear", "temb_dense_1"))
+
+    # input conv
+    layout.append(("conv", "conv_in"))
+
+    all_res = [cfg.image_size // (2**i) for i in range(num_res)]
+
+    # down path
+    for i_level in range(num_res):
+        for i_block in range(cfg.num_res_blocks):
+            layout.append(("resblock", f"down_{i_level}_block_{i_block}"))
+            if all_res[i_level] in cfg.attn_resolutions:
+                layout.append(("attn", f"down_{i_level}_attn_{i_block}"))
+        if i_level != num_res - 1:
+            if cfg.resblock_type == "ddpm":
+                layout.append(("resample", f"down_{i_level}_downsample"))
+            else:
+                layout.append(("resblock", f"down_{i_level}_downsample"))
+            if cfg.progressive_input == "input_skip":
+                layout.append(("combine", f"down_{i_level}_combine"))
+            elif cfg.progressive_input == "residual":
+                layout.append(("resample", f"down_{i_level}_pyramid_downsample"))
+
+    # bottleneck
+    layout.append(("resblock", "mid_block_0"))
+    if cfg.bottleneck_attn:
+        layout.append(("attn", "mid_attn"))
+    layout.append(("resblock", "mid_block_1"))
+
+    # up path
+    for i_level in reversed(range(num_res)):
+        for i_block in range(cfg.num_res_blocks + 1):
+            layout.append(("resblock", f"up_{i_level}_block_{i_block}"))
+        if all_res[i_level] in cfg.attn_resolutions:
+            layout.append(("attn", f"up_{i_level}_attn"))
+        if cfg.progressive != "none":
+            if i_level == num_res - 1 or cfg.progressive == "output_skip":
+                layout.append(("groupnorm", f"up_{i_level}_pyramid_norm"))
+                layout.append(("conv", f"up_{i_level}_pyramid_conv"))
+            else:  # residual, later levels: conv-upsample module
+                layout.append(("resample", f"up_{i_level}_pyramid_upsample"))
+        if i_level != 0:
+            if cfg.resblock_type == "ddpm":
+                layout.append(("resample", f"up_{i_level}_upsample"))
+            else:
+                layout.append(("resblock", f"up_{i_level}_upsample"))
+
+    if cfg.progressive != "output_skip":
+        layout.append(("groupnorm", "norm_out"))
+        layout.append(("conv", "conv_out"))
+    return layout
+
+
+def _conv_t(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def _put(out: Dict, scope: str, rest: str, value: np.ndarray) -> None:
+    path = tuple(scope.split("/")) + tuple(rest.split("/"))
+    out[path] = value
+
+
+def _map_module(
+    kind: str,
+    scope: str,
+    sub: Dict[str, np.ndarray],
+    cfg: NCSNppConfig,
+    out: Dict,
+) -> None:
+    if kind == "fourier":
+        _put(out, scope, "W", sub["W"])
+    elif kind == "linear":
+        _put(out, scope, "kernel", sub["weight"].T)
+        _put(out, scope, "bias", sub["bias"])
+    elif kind == "conv":
+        _put(out, scope, "Conv_0/kernel", _conv_t(sub["weight"]))
+        if "bias" in sub:
+            _put(out, scope, "Conv_0/bias", sub["bias"])
+    elif kind == "groupnorm":
+        _put(out, scope, "scale", sub["weight"])
+        _put(out, scope, "bias", sub["bias"])
+    elif kind == "combine":
+        _put(out, scope, "Conv_0/Conv_0/kernel", _conv_t(sub["Conv_0.weight"]))
+        _put(out, scope, "Conv_0/Conv_0/bias", sub["Conv_0.bias"])
+    elif kind == "attn":
+        _put(out, scope, "GroupNorm_0/scale", sub["GroupNorm_0.weight"])
+        _put(out, scope, "GroupNorm_0/bias", sub["GroupNorm_0.bias"])
+        for i in range(4):
+            _put(out, scope, f"NIN_{i}/W", sub[f"NIN_{i}.W"])
+            _put(out, scope, f"NIN_{i}/b", sub[f"NIN_{i}.b"])
+    elif kind == "resblock":
+        _put(out, scope, "GroupNorm_0/scale", sub["GroupNorm_0.weight"])
+        _put(out, scope, "GroupNorm_0/bias", sub["GroupNorm_0.bias"])
+        _put(out, scope, "Conv_0/Conv_0/kernel", _conv_t(sub["Conv_0.weight"]))
+        _put(out, scope, "Conv_0/Conv_0/bias", sub["Conv_0.bias"])
+        if "Dense_0.weight" in sub:
+            _put(out, scope, "Dense_0/Dense_0/kernel", sub["Dense_0.weight"].T)
+            _put(out, scope, "Dense_0/Dense_0/bias", sub["Dense_0.bias"])
+        _put(out, scope, "GroupNorm_1/scale", sub["GroupNorm_1.weight"])
+        _put(out, scope, "GroupNorm_1/bias", sub["GroupNorm_1.bias"])
+        _put(out, scope, "Conv_1/Conv_0/kernel", _conv_t(sub["Conv_1.weight"]))
+        _put(out, scope, "Conv_1/Conv_0/bias", sub["Conv_1.bias"])
+        if "Conv_2.weight" in sub:  # biggan 1×1 shortcut
+            _put(out, scope, "Conv_2/Conv_0/kernel", _conv_t(sub["Conv_2.weight"]))
+            _put(out, scope, "Conv_2/Conv_0/bias", sub["Conv_2.bias"])
+        if "NIN_0.W" in sub:  # ddpm NIN shortcut
+            _put(out, scope, "NIN_0/W", sub["NIN_0.W"])
+            _put(out, scope, "NIN_0/b", sub["NIN_0.b"])
+    elif kind == "resample":
+        if "Conv2d_0.weight" in sub:  # FIR fused conv → raw weight/bias params
+            _put(out, scope, "weight", _conv_t(sub["Conv2d_0.weight"]))
+            _put(out, scope, "bias", sub["Conv2d_0.bias"])
+        elif "Conv_0.weight" in sub:  # non-FIR conv path
+            _put(out, scope, "Conv_0/Conv_0/kernel", _conv_t(sub["Conv_0.weight"]))
+            _put(out, scope, "Conv_0/Conv_0/bias", sub["Conv_0.bias"])
+        # no-conv resampling has no params
+    else:
+        raise ValueError(f"Unknown module kind {kind}")
+
+
+def convert_ncsnpp_state_dict(
+    state_dict: Dict[str, Any],
+    cfg: NCSNppConfig,
+    prefix: str = "backbone.",
+) -> Dict[str, Any]:
+    """torch state dict (tensors or ndarrays) → Flax {'params': ...} tree."""
+    import flax
+
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        sd[k[len(prefix):]] = arr
+
+    layout = reference_module_layout(cfg)
+
+    # group torch keys per module index
+    per_module: Dict[int, Dict[str, np.ndarray]] = {}
+    extras: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("all_modules."):
+            idx_str, _, rest = k[len("all_modules."):].partition(".")
+            per_module.setdefault(int(idx_str), {})[rest] = v
+        else:
+            extras[k] = v
+
+    max_idx = max(per_module) if per_module else -1
+    if max_idx + 1 != len(layout):
+        raise ValueError(
+            f"Torch checkpoint has {max_idx + 1} modules but the config "
+            f"implies {len(layout)} — config/checkpoint mismatch?"
+        )
+
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    for idx, (kind, scope) in enumerate(layout):
+        sub = per_module.get(idx, {})
+        if not sub:
+            continue  # parameter-free module (e.g. no-conv resample)
+        _map_module(kind, scope, sub, cfg, out)
+
+    # top-level output layer (reference self.output_layer, ncsnpp.py:100)
+    if "output_layer.weight" in extras:
+        out[("output_layer", "kernel")] = _conv_t(extras["output_layer.weight"])
+    if "output_layer.bias" in extras:
+        out[("output_layer", "bias")] = extras["output_layer.bias"]
+
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def expected_torch_keys(cfg: NCSNppConfig) -> List[str]:
+    """The `all_modules.*` key skeleton a reference checkpoint should carry
+    (modulo parameter-free modules) — used by tests and for debugging
+    mismatched configs."""
+    names = []
+    for idx, (kind, _scope) in enumerate(reference_module_layout(cfg)):
+        base = f"all_modules.{idx}"
+        if kind == "fourier":
+            names.append(f"{base}.W")
+        elif kind == "linear":
+            names += [f"{base}.weight", f"{base}.bias"]
+        elif kind == "conv":
+            names += [f"{base}.weight", f"{base}.bias"]
+        elif kind == "groupnorm":
+            names += [f"{base}.weight", f"{base}.bias"]
+        elif kind == "combine":
+            names += [f"{base}.Conv_0.weight", f"{base}.Conv_0.bias"]
+        elif kind == "attn":
+            names += [f"{base}.GroupNorm_0.weight", f"{base}.GroupNorm_0.bias"]
+            names += [f"{base}.NIN_{i}.{p}" for i in range(4) for p in ("W", "b")]
+        elif kind == "resblock":
+            names += [
+                f"{base}.GroupNorm_0.weight", f"{base}.GroupNorm_0.bias",
+                f"{base}.Conv_0.weight", f"{base}.Conv_0.bias",
+                f"{base}.Dense_0.weight", f"{base}.Dense_0.bias",
+                f"{base}.GroupNorm_1.weight", f"{base}.GroupNorm_1.bias",
+                f"{base}.Conv_1.weight", f"{base}.Conv_1.bias",
+            ]
+        elif kind == "resample":
+            names += [f"{base}.Conv2d_0.weight", f"{base}.Conv2d_0.bias"]
+    return names

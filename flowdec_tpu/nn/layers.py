@@ -49,9 +49,9 @@ def get_act(name: str) -> Callable[[jax.Array], jax.Array]:
         raise NotImplementedError(f"activation function {name!r} does not exist!") from e
 
 
-def group_norm(ch: int) -> nn.GroupNorm:
+def group_norm(ch: int, name: str | None = None) -> nn.GroupNorm:
     """GroupNorm(min(ch//4, 32) groups, eps=1e-6) as hardcoded throughout NCSN++."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6)
+    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
 
 
 class Conv3x3(nn.Module):

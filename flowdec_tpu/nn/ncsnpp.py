@@ -263,14 +263,18 @@ class NCSNpp(nn.Module):
             if cfg.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if cfg.progressive == "output_skip":
-                        pyramid = act(group_norm(h.shape[-1])(h))
+                        pyramid = act(
+                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
+                        )
                         pyramid = Conv3x3(
                             cfg.num_channels,
                             init_scale=cfg.init_scale,
                             name=f"up_{i_level}_pyramid_conv",
                         )(pyramid)
                     else:  # residual
-                        pyramid = act(group_norm(h.shape[-1])(h))
+                        pyramid = act(
+                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
+                        )
                         pyramid = Conv3x3(
                             h.shape[-1], name=f"up_{i_level}_pyramid_conv"
                         )(pyramid)
@@ -282,7 +286,9 @@ class NCSNpp(nn.Module):
                             fir_kernel=cfg.fir_kernel,
                             name=f"up_{i_level}_pyramid_upsample",
                         )(pyramid)
-                        pyramid_h = act(group_norm(h.shape[-1])(h))
+                        pyramid_h = act(
+                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
+                        )
                         pyramid_h = Conv3x3(
                             cfg.num_channels,
                             init_scale=cfg.init_scale,
@@ -321,7 +327,7 @@ class NCSNpp(nn.Module):
         if cfg.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(group_norm(h.shape[-1])(h))
+            h = act(group_norm(h.shape[-1], name="norm_out")(h))
             h = Conv3x3(
                 cfg.num_channels, init_scale=cfg.init_scale, name="conv_out"
             )(h)
