@@ -61,7 +61,20 @@ def resample_np(x: np.ndarray, orig_freq: int, new_freq: int, lowpass_filter_wid
 
 
 def _load_mono(path: str, target_sr: int) -> np.ndarray:
-    """Load → mono (1, L) float32 at target_sr."""
+    """Load → mono (1, L) float32 at target_sr.
+
+    Uses the native C++ decoder/resampler (data/native.py) when available —
+    PCM→float conversion and polyphase filtering dominate loader CPU time —
+    and falls back to the pure-numpy implementations otherwise."""
+    try:
+        from flowdec_tpu.data import native
+
+        x, sr = native.read_wav_native(path, downmix=True)
+        if sr != target_sr:
+            x = native.resample_native(x, sr, target_sr, lowpass_filter_width=128)
+        return x.astype(np.float32)
+    except Exception:
+        pass
     x, sr = read_wav(path)
     if x.shape[0] > 1:
         x = np.mean(x, axis=0, keepdims=True)

@@ -179,3 +179,38 @@ def test_datamodule(wav_tree):
     seeded = dm.get_evaluation_samples("valid", 2, seed=0)
     seeded2 = dm.get_evaluation_samples("valid", 2, seed=0)
     assert [s[2] for s in seeded] == [s[2] for s in seeded2]
+
+
+def test_native_audio_io(tmp_path):
+    """C++ decoder/resampler must match the numpy implementations exactly
+    (same kernel bank) — skipped when no toolchain is available."""
+    pytest.importorskip("ctypes")
+    from flowdec_tpu.data import native
+
+    if not native.native_available():
+        pytest.skip("native audio library unavailable (no g++?)")
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal((2, 5000)) * 0.3, -0.99, 0.99).astype(np.float32)
+    path = str(tmp_path / "n.wav")
+    write_wav(path, x, 44100, dtype="float32")
+
+    a, sr_a = native.read_wav_native(path)
+    b, sr_b = read_wav(path)
+    assert sr_a == sr_b == 44100
+    np.testing.assert_allclose(a, b, atol=1e-7)
+
+    mono, _ = native.read_wav_native(path, downmix=True)
+    np.testing.assert_allclose(mono, np.mean(b, axis=0, keepdims=True), atol=1e-6)
+
+    r_native = native.resample_native(mono, 44100, 48000, lowpass_filter_width=32)
+    r_np = resample_np(mono, 44100, 48000, lowpass_filter_width=32)
+    assert r_native.shape == r_np.shape
+    np.testing.assert_allclose(r_native, r_np, atol=1e-4)
+
+    # int16 wav through the native decoder
+    write_wav(path, x, 16000, dtype="int16")
+    a16, sr16 = native.read_wav_native(path)
+    b16, _ = read_wav(path)
+    assert sr16 == 16000
+    np.testing.assert_allclose(a16, b16, atol=1e-6)
