@@ -115,7 +115,8 @@ def ode_solve(
 
     def body(x, inp):
         t, dt, last = inp
-        x_next = step_fn(f, x, t, dt, last)
+        # keep the carry dtype stable (f32 dt × bf16 state would promote)
+        x_next = step_fn(f, x, t, dt, last).astype(x0.dtype)
         return x_next, (x_next if return_trajectory else None)
 
     x_final, traj = jax.lax.scan(body, x0, (ts[:-1], dts, is_last))

@@ -68,6 +68,25 @@ class EnhancementModel(flax.struct.PyTreeNode):
     feature_extractor: FeatureExtractor = flax.struct.field(pytree_node=False)
     sampling_rate: int = flax.struct.field(pytree_node=False, default=48000)
     normalize_mode: str = flax.struct.field(pytree_node=False, default="noisy")
+    # inference compute dtype: None = float32; "bfloat16" runs the backbone's
+    # convs/matmuls on the MXU in bf16 (params cast once per enhance call,
+    # features cast at the ODE boundary; losses/training stay f32)
+    compute_dtype: Optional[str] = flax.struct.field(pytree_node=False, default=None)
+
+    def cast_for_compute(self, params):
+        """Cast float params to the inference compute dtype (no-op if None)."""
+        if self.compute_dtype is None:
+            return params
+        dt = jnp.dtype(self.compute_dtype)
+        return jax.tree.map(
+            lambda p: p.astype(dt) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
+
+    def cast_features(self, x):
+        if self.compute_dtype is None:
+            return x
+        return x.astype(jnp.dtype(self.compute_dtype))
 
     # --- parameter initialization ---
 

@@ -104,18 +104,26 @@ class FlowModel(EnhancementModel):
         sigma_fac: float = 1.0,
         return_trajectory: bool = False,
     ) -> jax.Array:
-        """ODE solve in feature domain from noised Y at t=0 to t=1."""
+        """ODE solve in feature domain from noised Y at t=0 to t=1.
+
+        With compute_dtype set (e.g. "bfloat16"), params are cast once and the
+        whole N-step solve runs in that dtype on the MXU; the ODE state stays
+        in compute dtype and is cast back to f32 at the end."""
         batch = Y.shape[0]
+        params_c = self.cast_for_compute(params)
+        Y_c = self.cast_features(Y)
 
         def vf(t_scalar, xt):
-            t_vec = jnp.full((batch,), t_scalar, dtype=Y.dtype)
-            return self.apply_backbone(params, xt, Y, t_vec)
+            t_vec = jnp.full((batch,), t_scalar, dtype=jnp.float32)
+            v = self.apply_backbone(params_c, xt, Y_c, t_vec)
+            return self.cast_features(v)
 
-        init = Y + sigma_fac * self._noise(key, Y, self.sigma_y)
-        return ode_solve(
+        init = self.cast_features(Y + sigma_fac * self._noise(key, Y, self.sigma_y))
+        out = ode_solve(
             vf, init, n_steps=n_steps, solver=solver,
             return_trajectory=return_trajectory,
         )
+        return out.astype(jnp.float32)
 
     def enhance(
         self,

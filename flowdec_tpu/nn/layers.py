@@ -126,8 +126,10 @@ class GaussianFourierProjection(nn.Module):
             lambda key, shape: jax.random.normal(key, shape) * self.scale,
             (self.embedding_size,),
         )
-        w = jax.lax.stop_gradient(w)
-        x_proj = t[:, None] * w[None, :] * (2 * np.pi)
+        # frequencies always in f32: bf16 would perturb sin/cos phases by
+        # O(0.002·|W|·2π) — far above embedding resolution
+        w = jax.lax.stop_gradient(w).astype(jnp.float32)
+        x_proj = t.astype(jnp.float32)[:, None] * w[None, :] * (2 * np.pi)
         return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
 
 

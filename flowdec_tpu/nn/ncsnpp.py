@@ -177,6 +177,10 @@ class NCSNpp(nn.Module):
             )(act(temb))
         else:
             temb = None
+        if temb is not None:
+            # keep the feature path's compute dtype (bf16 inference): without
+            # this, the f32 temb would promote every resblock back to f32
+            temb = temb.astype(input_dtype)
 
         # --- down path ---
         input_pyramid = h if cfg.progressive_input != "none" else None

@@ -200,3 +200,20 @@ def test_released_sigma_curves_load():
         curve = sigma_models.from_file(name, factor=factor, kernel_bandwidth=3)
         assert curve.shape == (768, 1, 1)
         assert 0.1 < curve.min() < curve.max() < 0.7
+
+
+def test_bf16_enhance_close_to_f32(flow_model_and_params, batch):
+    """bf16 inference path must stay numerically close to f32 (quality knob
+    for the >50x RTF target)."""
+    import dataclasses
+
+    model, params = flow_model_and_params
+    _, y = batch
+    model_bf16 = model.replace(compute_dtype="bfloat16")
+    out32 = model.enhance(params, jax.random.PRNGKey(5), y, n_steps=1, solver="euler")
+    out16 = model_bf16.enhance(params, jax.random.PRNGKey(5), y, n_steps=1, solver="euler")
+    assert out16.dtype == jnp.float32
+    # same noise draw → differences only from compute precision
+    denom = float(jnp.mean(jnp.abs(out32))) + 1e-9
+    rel = float(jnp.mean(jnp.abs(out32 - out16))) / denom
+    assert rel < 0.1, f"bf16 diverges from f32: rel={rel}"
