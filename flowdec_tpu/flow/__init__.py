@@ -21,6 +21,7 @@ from flowdec_tpu.flow.samplers import (
     ode_solve,
     pc_sample,
     probability_flow_sample,
+    probability_flow_sample_adaptive,
     solver_nfe,
 )
 
@@ -41,5 +42,6 @@ __all__ = [
     "ode_solve",
     "pc_sample",
     "probability_flow_sample",
+    "probability_flow_sample_adaptive",
     "solver_nfe",
 ]

@@ -34,6 +34,7 @@ __all__ = [
     "ode_solve",
     "pc_sample",
     "probability_flow_sample",
+    "probability_flow_sample_adaptive",
     "solver_nfe",
 ]
 
@@ -266,5 +267,55 @@ def probability_flow_sample(
         _, x = reverse_diffusion_predictor(
             denoise_rsde, x, vec_eps, y, key, noise_fn=noise_fn
         )
+        nfe += 1
+    return x, nfe
+
+
+def probability_flow_sample_adaptive(
+    key: jax.Array,
+    sde: BaseSDE,
+    score_fn: ScoreFn,
+    y: jax.Array,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    method: str = "RK45",
+    denoise: bool = True,
+    eps: float = 3e-2,
+    noise_fn=randn_like,
+) -> Tuple[jax.Array, int]:
+    """Adaptive black-box probability-flow ODE sampler via scipy.solve_ivp
+    (capability parity with the reference's get_ode_sampler,
+    sampling/__init__.py:75-147). Host-side (non-jit): each step round-trips
+    device↔host exactly like the reference's CUDA↔numpy loop — use the
+    fixed-grid :func:`probability_flow_sample` for production; this exists
+    for accuracy studies. Returns (x, nfe)."""
+    from scipy import integrate
+
+    rsde = ReverseSDE(sde, score_fn, probability_flow=True)
+    batch = y.shape[0]
+    shape = y.shape
+
+    drift_jit = jax.jit(
+        lambda x, t: rsde.sde(x, jnp.full((batch,), t, dtype=y.dtype), y)[0]
+    )
+
+    def ode_func(t, flat):
+        x = jnp.asarray(flat.reshape(shape), dtype=y.dtype)
+        return np.asarray(drift_jit(x, float(t)), dtype=np.float64).reshape(-1)
+
+    key, prior_key = jax.random.split(key)
+    x0 = sde.prior_sampling(prior_key, y, noise_fn=noise_fn)
+    solution = integrate.solve_ivp(
+        ode_func, (sde.T, eps), np.asarray(x0, np.float64).reshape(-1),
+        rtol=rtol, atol=atol, method=method,
+    )
+    nfe = int(solution.nfev)
+    x = jnp.asarray(solution.y[:, -1].reshape(shape), dtype=y.dtype)
+
+    if denoise:
+        denoise_rsde = ReverseSDE(sde, score_fn, probability_flow=False)
+        vec_eps = jnp.full((batch,), eps, dtype=y.dtype)
+        _, x = reverse_diffusion_predictor(denoise_rsde, x, vec_eps, y, key, noise_fn=noise_fn)
         nfe += 1
     return x, nfe

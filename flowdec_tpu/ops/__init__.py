@@ -10,6 +10,7 @@ from flowdec_tpu.ops.cpair import (
     from_cpair,
     to_cpair,
 )
+from flowdec_tpu.ops.fused_act import fused_leaky_relu
 from flowdec_tpu.ops.chunking import extract_chunks, merge_chunks, plan_chunks
 from flowdec_tpu.ops.padding import normalize_noisy, pad_spec, padded_num_frames, unpad_spec
 from flowdec_tpu.ops.resample import resample
@@ -36,6 +37,7 @@ from flowdec_tpu.ops.upfirdn import (
 __all__ = [
     "compress",
     "compress_pair",
+    "fused_leaky_relu",
     "decompress",
     "decompress_pair",
     "cabs",

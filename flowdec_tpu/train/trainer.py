@@ -235,10 +235,28 @@ class Trainer:
             shard_index=jax.process_index(), num_shards=jax.process_count()
         )
 
+        # Preemption safety (the reference's SLURM auto-requeue capability,
+        # train.py:155-186, TPU-native): on SIGTERM/SIGINT finish the current
+        # step, checkpoint, and exit cleanly; rerunning resumes.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            log.warning(f"Received signal {signum}: checkpointing and stopping...")
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not in main thread
+                pass
+
         t_last = time.perf_counter()
-        while step < self.max_steps:
+        while step < self.max_steps and not preempted["flag"]:
             for x, y, _names in loader.epoch(self.current_epoch):
-                if step >= self.max_steps:
+                if step >= self.max_steps or preempted["flag"]:
                     break
                 batch = self._place((jnp.asarray(x), jnp.asarray(y)))
                 state, metrics = self.train_step(
@@ -279,4 +297,6 @@ class Trainer:
         if self.ckpt is not None and is_primary_host():
             self.ckpt.maybe_save(state, force=True)
             self.ckpt.wait()
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
         return state
