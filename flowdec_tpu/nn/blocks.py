@@ -163,7 +163,7 @@ class ResnetBlockBigGAN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, temb: jax.Array | None = None, *, train: bool = False
+        self, x: jax.Array, temb: jax.Array | None = None, train: bool = False
     ) -> jax.Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
@@ -214,7 +214,7 @@ class ResnetBlockDDPM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, temb: jax.Array | None = None, *, train: bool = False
+        self, x: jax.Array, temb: jax.Array | None = None, train: bool = False
     ) -> jax.Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch

@@ -65,6 +65,7 @@ def build_backbone(
     dropout: float = 0.0,
     num_channels: int = 4,
     output_layer_kwargs: Optional[Dict[str, Any]] = None,
+    remat: bool = True,
 ) -> NCSNpp:
     """NCSN++ from the reference's YAML schema (ncsnpp_*.yaml keys)."""
     out_kw = dict(kernel_size=3, bias=False)
@@ -96,6 +97,7 @@ def build_backbone(
         output_kernel_size=int(out_kw["kernel_size"]),
         output_bias=bool(out_kw["bias"]),
         bottleneck_attn=bottleneck_attn,
+        remat=remat,
     )
     return NCSNpp(cfg)
 

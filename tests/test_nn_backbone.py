@@ -147,3 +147,25 @@ def test_jit_and_grad():
     g = jax.grad(loss_fn)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_remat_grad_equivalence():
+    """remat=True must not change values or gradients (memory-only knob)."""
+    base = dict(
+        nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=32,
+        bottleneck_attn=False, attn_resolutions=(),
+    )
+    m_plain = NCSNpp(NCSNppConfig(**base))
+    m_remat = NCSNpp(NCSNppConfig(**base, remat=True))
+    x, y = _complex_inputs(jax.random.PRNGKey(11), f=32, t_frames=16)
+    t = jnp.full((B,), 0.5)
+    params = m_plain.init(jax.random.PRNGKey(12), x, y, t)
+
+    o1 = m_plain.apply(params, x, y, t)
+    o2 = m_remat.apply(params, x, y, t)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    g1 = jax.grad(lambda p: jnp.mean(jnp.square(m_plain.apply(p, x, y, t))))(params)
+    g2 = jax.grad(lambda p: jnp.mean(jnp.square(m_remat.apply(p, x, y, t))))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
