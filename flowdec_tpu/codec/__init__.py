@@ -1,5 +1,18 @@
 """NDAC codec (DAC-style residual-VQ audio codec) in JAX."""
 
 from flowdec_tpu.codec.ndac import NDAC, NDACConfig, ResidualVectorQuantizer, snake
+from flowdec_tpu.codec.training import (
+    CodecLossWeights,
+    create_codec_train_state,
+    make_codec_train_step,
+)
 
-__all__ = ["NDAC", "NDACConfig", "ResidualVectorQuantizer", "snake"]
+__all__ = [
+    "NDAC",
+    "NDACConfig",
+    "ResidualVectorQuantizer",
+    "snake",
+    "CodecLossWeights",
+    "create_codec_train_state",
+    "make_codec_train_step",
+]

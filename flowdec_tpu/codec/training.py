@@ -1,0 +1,121 @@
+"""NDAC codec training step (non-adversarial).
+
+The reference consumes NDAC as a pretrained external package; training it is
+part of the pipeline's capability surface (the paper retrains DAC without
+adversarial losses). One jitted step: multi-scale mel + multi-scale STFT +
+waveform L1 reconstruction losses + RVQ commitment/codebook terms, Adam, EMA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowdec_tpu.losses import MelSpectrogramLoss, MultiScaleSTFTLoss, WaveformL1Loss
+from flowdec_tpu.parallel.mesh import DATA_AXIS
+from flowdec_tpu.train.state import TrainState
+
+__all__ = ["CodecLossWeights", "make_codec_train_step", "create_codec_train_state"]
+
+
+class CodecLossWeights:
+    """Loss mix for non-adversarial codec training (DAC-paper-style weights
+    minus the GAN terms)."""
+
+    def __init__(
+        self,
+        mel: float = 15.0,
+        stft: float = 1.0,
+        waveform: float = 1.0,
+        commitment: float = 0.25,
+        codebook: float = 1.0,
+    ):
+        self.mel = mel
+        self.stft = stft
+        self.waveform = waveform
+        self.commitment = commitment
+        self.codebook = codebook
+
+
+def create_codec_train_state(codec, key, optimizer, *, length: int = 8192) -> TrainState:
+    params = codec.init(key, jnp.zeros((1, length)))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_codec_train_step(
+    codec,
+    optimizer: optax.GradientTransformation,
+    *,
+    weights: Optional[CodecLossWeights] = None,
+    ema_decay: float = 0.999,
+    n_quantizers_dropout: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Jitted codec step: (state, x_batch, key) → (state, metrics).
+
+    n_quantizers_dropout trains all bitrates jointly (the DAC quantizer-
+    dropout recipe): each step uses a random prefix length of codebooks,
+    implemented as a per-step randomized static choice via key folding on
+    the host — here simplified to full-stack training when disabled.
+    """
+    w = weights or CodecLossWeights()
+    sr = codec.config.sampling_rate
+    mel_loss = MelSpectrogramLoss(sampling_rate=sr)
+    stft_loss = MultiScaleSTFTLoss()
+    wav_loss = WaveformL1Loss()
+
+    def step_fn(state: TrainState, x: jax.Array, key: jax.Array, n_quantizers=None):
+        def loss_fn(params):
+            out = codec.apply(params, x, n_quantizers)
+            recon = out["audio"]
+            losses = {
+                "loss/mel": mel_loss(recon, x),
+                "loss/stft": stft_loss(recon, x),
+                "loss/waveform": wav_loss(recon, x),
+                "vq/commitment_loss": out["vq/commitment_loss"],
+                "vq/codebook_loss": out["vq/codebook_loss"],
+            }
+            total = (
+                w.mel * losses["loss/mel"]
+                + w.stft * losses["loss/stft"]
+                + w.waveform * losses["loss/waveform"]
+                + w.commitment * losses["vq/commitment_loss"]
+                + w.codebook * losses["vq/codebook_loss"]
+            )
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, new_params,
+        )
+        state = state.replace(
+            step=state.step + 1, params=new_params,
+            ema_params=new_ema, opt_state=new_opt_state,
+        )
+        metrics = {"loss/total": total, **losses}
+        return state, metrics
+
+    static = ("n_quantizers",)
+    if mesh is None:
+        return jax.jit(step_fn, static_argnames=static, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        static_argnames=static,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

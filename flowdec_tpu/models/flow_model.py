@@ -91,6 +91,78 @@ class FlowModel(EnhancementModel):
         }
         return loss, aux
 
+    # --- finetuning with auxiliary waveform-domain losses ---
+
+    def finetune_loss(
+        self,
+        params,
+        key: jax.Array,
+        batch: Tuple[jax.Array, jax.Array],
+        aux_losses: Tuple = (),
+        aux_weights: Tuple[float, ...] = (),
+        speech_mask: Optional[jax.Array] = None,
+        aux_weight: float = 1.0,
+        *,
+        train: bool = True,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """CFM loss + auxiliary losses on the single-step reconstruction.
+
+        Restores the reference's stripped finetuning stage (flowdec/losses.py
+        is exported but unwired; model.py:175 documents the per-audiotype
+        batch_filter for exactly this): for the linear CFM bridge,
+        x1 = x_t + (1−t)·u_t, so v_theta yields a one-step estimate
+        X̂1 = x_t + (1−t)·v_theta, which is inverted to a waveform
+        (differentiable ISTFT) and scored with waveform-domain losses
+        (multi-scale STFT/mel/CQT/PESQ). Losses carrying
+        `only_applies_to=['speech']` are gated by `speech_mask` (B,) —
+        masked samples are zeroed on both sides, contributing 0.
+        """
+        x_wav, y_wav = batch
+        Ymu, Xmu, info = self.preprocess(y_wav, x=x_wav)
+        Ymu = jax.lax.stop_gradient(Ymu)
+        Xmu = jax.lax.stop_gradient(Xmu)
+
+        k_t, k_y, k_x, k_cfm, k_drop = jax.random.split(key, 5)
+        t = jax.random.uniform(k_t, (Xmu.shape[0],))
+        ys = Ymu + self._noise(k_y, Ymu, self.sigma_y)
+        xs = Xmu + self._noise(k_x, Xmu, self.sigma_x)
+        t, xt, ut = sample_location_and_conditional_flow(
+            k_cfm, ys, xs, t, sigma=self.cfm_sigma
+        )
+        vt = self.apply_backbone(params, xt, Ymu, t, train=train, rngs={"dropout": k_drop})
+
+        sq_errs = cabs2(vt - ut)
+        per_sample = jnp.mean(sq_errs.reshape(sq_errs.shape[0], -1), axis=1)
+        cfm_loss = jnp.mean(per_sample)
+
+        # one-step reconstruction → waveform
+        t_b = t.reshape(t.shape + (1,) * (xt.ndim - 1))
+        x1_hat = xt + (1.0 - t_b) * vt
+        wav_hat = self.postprocess(x1_hat, info)
+        wav_ref = jax.lax.stop_gradient(self.postprocess(Xmu, info))
+
+        aux_total = 0.0
+        aux_metrics: Dict[str, jax.Array] = {}
+        if not aux_weights:
+            aux_weights = (1.0,) * len(aux_losses)
+        for loss_fn, weight in zip(aux_losses, aux_weights):
+            wh, wr = wav_hat, wav_ref
+            if speech_mask is not None and getattr(loss_fn, "only_applies_to", None):
+                m = speech_mask.astype(wav_hat.dtype)[:, None]
+                wh, wr = wav_hat * m, wav_ref * m
+            value = loss_fn(wh, wr)
+            aux_metrics[f"aux/{type(loss_fn).__name__}"] = value
+            aux_total = aux_total + weight * value
+
+        total = cfm_loss + aux_weight * aux_total
+        return total, {
+            "cfm_loss": cfm_loss,
+            "aux_loss": aux_total,
+            "per_sample": per_sample,
+            "n_nan": jnp.sum(~jnp.isfinite(per_sample)),
+            **aux_metrics,
+        }
+
     # --- inference ---
 
     def enhance_features(

@@ -89,7 +89,9 @@ def _frame_indices(n_fft: int, hop: int, n_frames: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _dft_matrices(n_fft: int, dtype_name: str):
-    """Real/imag onesided DFT matrices of shape (n_fft, n_bins).
+    """Real/imag onesided DFT matrices of shape (n_fft, n_bins), as NUMPY
+    arrays (never cache jnp arrays: inside a jit trace they are tracer-bound
+    constants and caching them across traces leaks).
 
     X[k] = sum_n x[n] e^{-2πi kn/N}  →  re = x @ C, im = -(x @ S).
     Built in float64 then cast, so matrix accuracy isn't the bottleneck.
@@ -98,13 +100,13 @@ def _dft_matrices(n_fft: int, dtype_name: str):
     n = np.arange(n_fft, dtype=np.float64)[:, None]
     k = np.arange(n_bins, dtype=np.float64)[None, :]
     theta = 2.0 * np.pi * n * k / n_fft
-    dtype = jnp.dtype(dtype_name)
-    return jnp.asarray(np.cos(theta), dtype), jnp.asarray(np.sin(theta), dtype)
+    dtype = np.dtype(dtype_name)
+    return np.cos(theta).astype(dtype), np.sin(theta).astype(dtype)
 
 
 @functools.lru_cache(maxsize=8)
 def _idft_matrices(n_fft: int, dtype_name: str):
-    """Onesided inverse-DFT matrices of shape (n_bins, n_fft).
+    """Onesided inverse-DFT matrices of shape (n_bins, n_fft), as numpy.
 
     x[n] = (1/N) Σ_k w_k (Re X_k cosθ - Im X_k sinθ), w_0 = w_{N/2} = 1 else 2
     (hermitian fold for even N; for odd N only k=0 has weight 1).
@@ -117,10 +119,10 @@ def _idft_matrices(n_fft: int, dtype_name: str):
     w[0] = 1.0
     if n_fft % 2 == 0:
         w[-1] = 1.0
-    dtype = jnp.dtype(dtype_name)
-    cos_m = np.cos(theta) * w / n_fft
-    sin_m = np.sin(theta) * w / n_fft
-    return jnp.asarray(cos_m, dtype), jnp.asarray(sin_m, dtype)
+    dtype = np.dtype(dtype_name)
+    cos_m = (np.cos(theta) * w / n_fft).astype(dtype)
+    sin_m = (np.sin(theta) * w / n_fft).astype(dtype)
+    return cos_m, sin_m
 
 
 def _resolve_method(method: str) -> str:

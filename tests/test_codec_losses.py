@@ -173,3 +173,71 @@ def test_pesq_loss_gated():
     assert TorchPESQSpeechLoss.only_applies_to == ["speech"]
     with pytest.raises(Exception):
         TorchPESQSpeechLoss(SR)  # torch_pesq not installed in this image
+
+
+def test_codec_train_step(codec_and_params):
+    """One jitted codec training step improves the reconstruction mix."""
+    import optax
+    from flowdec_tpu.codec import CodecLossWeights, create_codec_train_state, make_codec_train_step
+
+    codec, _ = codec_and_params
+    optimizer = optax.adam(3e-4)
+    state = create_codec_train_state(codec, jax.random.PRNGKey(0), optimizer, length=640)
+    # lighter loss mix for the tiny 8 kHz test geometry
+    weights = CodecLossWeights(mel=1.0, stft=1.0, waveform=1.0)
+    step = make_codec_train_step(codec, optimizer, weights=weights)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 640)) * 0.1, jnp.float32)
+    totals, recons = [], []
+    for i in range(15):
+        state, metrics = step(state, x, jax.random.PRNGKey(i))
+        totals.append(float(metrics["loss/total"]))
+        recons.append(
+            float(metrics["loss/mel"] + metrics["loss/stft"] + metrics["loss/waveform"])
+        )
+    assert int(state.step) == 15
+    assert all(np.isfinite(totals))
+    # The VQ commitment/codebook terms legitimately grow early (random
+    # codebooks chasing a live encoder — DAC warms this up over many steps);
+    # the smoke assertion is that the reconstruction mix improves.
+    assert recons[-1] < recons[0], f"codec not learning: {recons[0]} -> {recons[-1]}"
+
+
+def test_flow_finetune_loss():
+    """Aux finetuning losses on the one-step reconstruction (restored stripped
+    capability) produce finite grads and respect the speech mask."""
+    from tests.test_models import TINY_BACKBONE, FEX, SR as MSR
+    from flowdec_tpu.models import FlowModel
+    from flowdec_tpu.nn import NCSNpp
+
+    model = FlowModel(backbone=NCSNpp(TINY_BACKBONE), feature_extractor=FEX,
+                      sampling_rate=MSR, sigma_y=jnp.asarray(0.5))
+    params = model.init_params(jax.random.PRNGKey(0), frames=128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4064)) * 0.1, jnp.float32)
+    y = x + 0.05 * jnp.asarray(rng.standard_normal((2, 4064)), jnp.float32)
+
+    stft_l = MultiScaleSTFTLoss(window_lengths=(256,))
+
+    class SpeechOnly:
+        only_applies_to = ["speech"]
+
+        def __call__(self, a, b):
+            return jnp.mean(jnp.abs(a - b))
+
+    mask = jnp.asarray([1.0, 0.0])
+    loss, aux = model.finetune_loss(
+        params, jax.random.PRNGKey(1), (x, y),
+        aux_losses=(stft_l, SpeechOnly()), speech_mask=mask,
+    )
+    assert np.isfinite(float(loss))
+    assert "aux/MultiScaleSTFTLoss" in aux and "aux/SpeechOnly" in aux
+
+    g = jax.grad(
+        lambda p: model.finetune_loss(
+            p, jax.random.PRNGKey(1), (x, y), aux_losses=(stft_l,)
+        )[0]
+    )(params)
+    gsum = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
