@@ -28,6 +28,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "fsdp_sharding",
     "initialize_distributed",
     "is_primary_host",
     "DATA_AXIS",
@@ -69,6 +70,34 @@ def shard_batch(batch, mesh: Mesh):
     """Place a pytree of per-host batch arrays with leading-axis DP sharding."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def fsdp_sharding(tree, mesh: Mesh, *, min_size: int = 2**16, axis: str = DATA_AXIS):
+    """Per-leaf ZeRO-3-style shardings: shard each large parameter's largest
+    evenly-divisible axis over `axis`; replicate small leaves.
+
+    A capability the reference lacks entirely (no FSDP/ZeRO, SURVEY.md §2.8):
+    optimizer + EMA + param memory scales down ~linearly with mesh size; XLA
+    inserts the all-gathers (params) and reduce-scatters (grads) implied by
+    the shardings.
+    """
+    n = mesh.shape[axis]
+
+    def leaf_sharding(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if size < min_size:
+            return NamedSharding(mesh, P())
+        # largest axis divisible by the mesh axis size
+        candidates = [(d, i) for i, d in enumerate(shape) if d % n == 0]
+        if not candidates:
+            return NamedSharding(mesh, P())
+        _, best = max(candidates)
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf_sharding, tree)
 
 
 def initialize_distributed(

@@ -62,13 +62,18 @@ def make_train_step(
     *,
     ema_decay: float = 0.999,
     mesh: Optional[Mesh] = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = 2**16,
+    example_state: Optional[TrainState] = None,
     donate: bool = True,
 ):
     """Jit a train step; with a mesh, pin DP shardings so XLA inserts the
     gradient all-reduce (the reference's NCCL DDP, TPU-native).
 
-    batch is a (clean, coded) waveform tuple sharded on its leading axis;
-    state and PRNG key are replicated.
+    batch is a (clean, coded) waveform tuple sharded on its leading axis.
+    With fsdp=True (requires example_state for the tree structure), params /
+    EMA / optimizer state are additionally sharded over the data axis
+    (ZeRO-3-style; XLA all-gathers params and reduce-scatters grads).
     """
     step_fn = build_train_step(model, optimizer, ema_decay=ema_decay)
     donate_args = (0,) if donate else ()
@@ -76,12 +81,69 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=donate_args)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    if fsdp:
+        assert example_state is not None, "fsdp=True needs example_state"
+        from flowdec_tpu.parallel.mesh import fsdp_sharding
+
+        state_sh = TrainState(
+            step=repl,
+            params=fsdp_sharding(example_state.params, mesh, min_size=fsdp_min_size),
+            ema_params=fsdp_sharding(example_state.ema_params, mesh, min_size=fsdp_min_size),
+            opt_state=jax.tree.map(
+                lambda _: repl, example_state.opt_state,
+                is_leaf=lambda x: hasattr(x, "shape"),
+            ),
+        )
+        # optimizer moments follow their params' shardings where shapes match
+        state_sh = state_sh.replace(
+            opt_state=_match_opt_shardings(
+                example_state.opt_state, example_state.params,
+                fsdp_sharding(example_state.params, mesh, min_size=fsdp_min_size), repl,
+            )
+        )
+    else:
+        state_sh = repl
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=donate_args,
     )
+
+
+def _match_opt_shardings(opt_state, params, param_shardings, repl):
+    """Give Adam's mu/nu the same shardings as their parameters; everything
+    else (counts, masks) replicated."""
+    import flax
+
+    flat_params = flax.traverse_util.flatten_dict(
+        params, keep_empty_nodes=True, sep="/"
+    )
+    flat_shard = flax.traverse_util.flatten_dict(
+        param_shardings, keep_empty_nodes=True, sep="/"
+    )
+
+    def map_leafdict(tree):
+        # tree with the same structure as params → use param shardings
+        flat = flax.traverse_util.flatten_dict(tree, keep_empty_nodes=True, sep="/")
+        if set(flat) == set(flat_params):
+            return flax.traverse_util.unflatten_dict(
+                {k: flat_shard[k] for k in flat}, sep="/"
+            )
+        return jax.tree.map(lambda _: repl, tree)
+
+    def walk(node):
+        if isinstance(node, dict):
+            return map_leafdict(node)
+        if isinstance(node, tuple) and not hasattr(node, "shape"):
+            if hasattr(node, "_fields"):  # namedtuple (e.g. ScaleByAdamState)
+                return type(node)(*(walk(v) for v in node))
+            return tuple(walk(v) for v in node)
+        if hasattr(node, "shape"):
+            return repl
+        return repl
+
+    return walk(opt_state)
 
 
 def make_eval_step(model, *, ema: bool = True, mesh: Optional[Mesh] = None):

@@ -134,3 +134,41 @@ def test_eval_step_uses_ema():
     l_raw = float(eval_raw(state, batch, key)["valid_loss"])
     assert np.isfinite(l_ema) and np.isfinite(l_raw)
     assert l_ema != l_raw  # EMA weights genuinely differ from raw
+
+
+def test_fsdp_sharded_matches_single_device():
+    """ZeRO-3-style param/optimizer sharding over the data axis must still
+    reproduce the single-device step (all-gather/reduce-scatter inserted by
+    XLA from the shardings) — capability the reference lacks (SURVEY §2.8)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    batch = _batch(batch_size=8)
+    key = jax.random.PRNGKey(7)
+
+    state_single = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_single = make_train_step(model, optimizer, donate=False)
+    state_single, m_single = step_single(state_single, batch, key)
+
+    mesh = make_mesh(n_data=8)
+    state_fsdp = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_fsdp = make_train_step(
+        model, optimizer, mesh=mesh, fsdp=True, example_state=state_fsdp,
+        fsdp_min_size=1024, donate=False,  # tiny test model → shard small leaves too
+    )
+    batch_f = shard_batch(batch, mesh)
+    state_fsdp, m_fsdp = step_fsdp(state_fsdp, batch_f, key)
+
+    assert abs(float(m_single["train_loss"]) - float(m_fsdp["train_loss"])) < 1e-5
+
+    # at least one large param leaf must actually be sharded over the mesh
+    shardings = jax.tree.map(lambda x: x.sharding, state_fsdp.params)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any(any(p is not None for p in spec) for spec in specs), specs
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    jax.tree.map(close, state_single.params, state_fsdp.params)
