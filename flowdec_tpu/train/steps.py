@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flowdec_tpu.parallel.mesh import DATA_AXIS
 from flowdec_tpu.train.state import TrainState, masked_optimizer
 
-__all__ = ["build_train_step", "make_train_step", "make_eval_step"]
+__all__ = ["build_train_step", "make_train_step", "make_eval_step", "fsdp_state_shardings"]
 
 
 def build_train_step(model, optimizer: optax.GradientTransformation, *, ema_decay: float = 0.999):
@@ -83,24 +83,7 @@ def make_train_step(
     data = NamedSharding(mesh, P(DATA_AXIS))
     if fsdp:
         assert example_state is not None, "fsdp=True needs example_state"
-        from flowdec_tpu.parallel.mesh import fsdp_sharding
-
-        state_sh = TrainState(
-            step=repl,
-            params=fsdp_sharding(example_state.params, mesh, min_size=fsdp_min_size),
-            ema_params=fsdp_sharding(example_state.ema_params, mesh, min_size=fsdp_min_size),
-            opt_state=jax.tree.map(
-                lambda _: repl, example_state.opt_state,
-                is_leaf=lambda x: hasattr(x, "shape"),
-            ),
-        )
-        # optimizer moments follow their params' shardings where shapes match
-        state_sh = state_sh.replace(
-            opt_state=_match_opt_shardings(
-                example_state.opt_state, example_state.params,
-                fsdp_sharding(example_state.params, mesh, min_size=fsdp_min_size), repl,
-            )
-        )
+        state_sh = fsdp_state_shardings(example_state, mesh, min_size=fsdp_min_size)
     else:
         state_sh = repl
     return jax.jit(
@@ -108,6 +91,24 @@ def make_train_step(
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=donate_args,
+    )
+
+
+def fsdp_state_shardings(example_state: TrainState, mesh: Mesh, *, min_size: int = 2**16) -> TrainState:
+    """Sharding tree for a TrainState under FSDP: params/EMA sharded per
+    fsdp_sharding, Adam moments following their params, the rest replicated.
+    Use with jax.device_put(state, shardings) before a fsdp train step."""
+    from flowdec_tpu.parallel.mesh import fsdp_sharding
+
+    repl = NamedSharding(mesh, P())
+    param_sh = fsdp_sharding(example_state.params, mesh, min_size=min_size)
+    return TrainState(
+        step=repl,
+        params=param_sh,
+        ema_params=fsdp_sharding(example_state.ema_params, mesh, min_size=min_size),
+        opt_state=_match_opt_shardings(
+            example_state.opt_state, example_state.params, param_sh, repl
+        ),
     )
 
 
