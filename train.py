@@ -92,10 +92,12 @@ def main(argv=None):
 
     crop_frames = padded_num_frames(stft_cfg.num_frames(crop_frames_len), 64)
 
+    mesh_opt = topts.get("mesh", "auto")  # "auto" = DP over all local devices
     trainer = Trainer(
         model,
         datamodule,
         optimizer,
+        mesh=mesh_opt,
         max_steps=int(topts.get("max_steps", 1_000_000)),
         log_every_n_steps=int(topts.get("log_every_n_steps", 10)),
         val_every_n_steps=int(topts.get("val_every_n_steps", 5000)),
