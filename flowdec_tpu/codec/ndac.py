@@ -217,16 +217,35 @@ class ResidualVectorQuantizer(nn.Module):
             for i in range(self.n_codebooks)
         ]
 
-    def __call__(self, z: jax.Array, n_quantizers: Optional[int] = None):
+    def __call__(
+        self,
+        z: jax.Array,
+        n_quantizers: Optional[int] = None,
+        nq_per_sample: Optional[jax.Array] = None,
+    ):
+        """Quantize z through the stage stack.
+
+        n_quantizers: static prefix length (bitrate control at inference).
+        nq_per_sample: (B,) int array — per-SAMPLE prefix lengths, the DAC
+            quantizer-dropout training recipe (each sample trains a random
+            bitrate); jit-friendly masking, overrides n_quantizers.
+        """
         nq = self.n_codebooks if n_quantizers is None else n_quantizers
         z_q = jnp.zeros_like(z)
         residual = z
         codes, latents = [], []
         commitment = 0.0
         codebook_loss = 0.0
+        batch = z.shape[0]
         for i, vq in enumerate(self.vqs):
             out_i, codes_i, z_e_i, comm_i, cb_i = vq(residual)
-            if i < nq:  # static gate: nq is a Python int at trace time
+            if nq_per_sample is not None:
+                mask = (nq_per_sample > i).astype(z.dtype).reshape(batch, 1, 1)
+                z_q = z_q + out_i * mask
+                residual = residual - out_i * mask
+                commitment = commitment + comm_i * jnp.mean(mask)
+                codebook_loss = codebook_loss + cb_i * jnp.mean(mask)
+            elif i < nq:  # static gate: nq is a Python int at trace time
                 z_q = z_q + out_i
                 residual = residual - out_i
                 commitment = commitment + comm_i
@@ -304,10 +323,15 @@ class NDAC(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
 
-    def encode(self, x: jax.Array, n_quantizers: Optional[int] = None):
+    def encode(
+        self,
+        x: jax.Array,
+        n_quantizers: Optional[int] = None,
+        nq_per_sample: Optional[jax.Array] = None,
+    ):
         """waveform → (z_q, codes, latents, commitment_loss, codebook_loss)."""
         z = self.encoder(self.preprocess(x))
-        return self.quantizer(z, n_quantizers)
+        return self.quantizer(z, n_quantizers, nq_per_sample)
 
     def decode(self, z_q: jax.Array) -> jax.Array:
         """quantized latent (B, frames, latent) → waveform (B, T)."""
@@ -316,10 +340,17 @@ class NDAC(nn.Module):
     def from_codes(self, codes: jax.Array, n_quantizers: Optional[int] = None):
         return self.quantizer.from_codes(codes, n_quantizers)
 
-    def __call__(self, x: jax.Array, n_quantizers: Optional[int] = None):
+    def __call__(
+        self,
+        x: jax.Array,
+        n_quantizers: Optional[int] = None,
+        nq_per_sample: Optional[jax.Array] = None,
+    ):
         """Full autoencode: returns dict with reconstruction + VQ losses."""
         length = x.shape[-1]
-        z_q, codes, latents, commitment, codebook_loss = self.encode(x, n_quantizers)
+        z_q, codes, latents, commitment, codebook_loss = self.encode(
+            x, n_quantizers, nq_per_sample
+        )
         recon = self.decode(z_q)[..., :length]
         return {
             "audio": recon,

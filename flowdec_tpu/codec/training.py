@@ -62,10 +62,9 @@ def make_codec_train_step(
 ):
     """Jitted codec step: (state, x_batch, key) → (state, metrics).
 
-    n_quantizers_dropout trains all bitrates jointly (the DAC quantizer-
-    dropout recipe): each step uses a random prefix length of codebooks,
-    implemented as a per-step randomized static choice via key folding on
-    the host — here simplified to full-stack training when disabled.
+    n_quantizers_dropout=True trains all bitrates jointly (the DAC quantizer-
+    dropout recipe): each SAMPLE uses a random prefix length of codebooks,
+    drawn inside the jitted step (per-sample masking, one compiled graph).
     """
     w = weights or CodecLossWeights()
     sr = codec.config.sampling_rate
@@ -73,9 +72,18 @@ def make_codec_train_step(
     stft_loss = MultiScaleSTFTLoss()
     wav_loss = WaveformL1Loss()
 
+    n_codebooks = codec.config.n_codebooks
+
     def step_fn(state: TrainState, x: jax.Array, key: jax.Array, n_quantizers=None):
+        key, nq_key = jax.random.split(key)
+        nq_per_sample = (
+            jax.random.randint(nq_key, (x.shape[0],), 1, n_codebooks + 1)
+            if n_quantizers_dropout and n_quantizers is None
+            else None
+        )
+
         def loss_fn(params):
-            out = codec.apply(params, x, n_quantizers)
+            out = codec.apply(params, x, n_quantizers, nq_per_sample)
             recon = out["audio"]
             losses = {
                 "loss/mel": mel_loss(recon, x),

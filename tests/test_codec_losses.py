@@ -241,3 +241,18 @@ def test_flow_finetune_loss():
     )(params)
     gsum = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_quantizer_dropout_per_sample(codec_and_params):
+    """Per-sample nq masking (DAC quantizer dropout): a sample with nq=1 must
+    see only stage-0 output; a sample with full nq gets the full stack."""
+    codec, params = codec_and_params
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 640)) * 0.1, jnp.float32)
+
+    nq = jnp.asarray([1, TINY.n_codebooks])
+    z_mixed, *_ = codec.apply(params, x, method=codec.encode, nq_per_sample=nq)
+    z_1, *_ = codec.apply(params, x[:1], n_quantizers=1, method=codec.encode)
+    z_full, *_ = codec.apply(params, x[1:], method=codec.encode)
+    np.testing.assert_allclose(np.asarray(z_mixed[0]), np.asarray(z_1[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_mixed[1]), np.asarray(z_full[0]), atol=1e-5)
