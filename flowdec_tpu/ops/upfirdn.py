@@ -95,19 +95,66 @@ def upfirdn2d(
     return _depthwise_conv(x, kernel, up=(up, up), down=(down, down), pad_h=p, pad_w=p)
 
 
+def _zero_stuff(x: jax.Array, up: int, axis: int) -> jax.Array:
+    """Insert up-1 zeros after every element along `axis` (length becomes
+    len*up, including up-1 trailing zeros — the exact upfirdn stuffing)."""
+    if up == 1:
+        return x
+    axis = axis % x.ndim
+    parts = [x] + [jnp.zeros_like(x)] * (up - 1)
+    stacked = jnp.stack(parts, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = x.shape[axis] * up
+    return stacked.reshape(new_shape)
+
+
+def _slice_axis(x: jax.Array, start: int, stop, axis: int, step: int = 1) -> jax.Array:
+    idx = [slice(None)] * x.ndim
+    idx[axis % x.ndim] = slice(start, stop, step)
+    return x[tuple(idx)]
+
+
+def _fir_axis(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int,
+    pad: Tuple[int, int], axis: int,
+) -> jax.Array:
+    """1-D upfirdn along one axis as shift-and-add.
+
+    Profiling showed XLA's depthwise (feature_group_count=C) convolutions
+    force layout conversions: the FIR resampling was costing more in `copy` /
+    `pad` ops than the U-Net's real convolutions. A K-tap FIR is just K
+    weighted shifted adds — pure elementwise work XLA fuses with neighbors in
+    the native NHWC layout.
+    """
+    axis = axis % x.ndim
+    x = _zero_stuff(x, up, axis)
+    lo, hi = pad
+    if lo > 0 or hi > 0:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (max(lo, 0), max(hi, 0))
+        x = jnp.pad(x, widths)
+    if lo < 0 or hi < 0:
+        x = _slice_axis(x, max(-lo, 0), x.shape[axis] - max(-hi, 0), axis)
+
+    k = k1d[::-1]  # flip: convolution, not correlation
+    taps = len(k)
+    out_len = x.shape[axis] - taps + 1
+    out = float(k[0]) * _slice_axis(x, 0, out_len, axis)
+    for t in range(1, taps):
+        out = out + float(k[t]) * _slice_axis(x, t, t + out_len, axis)
+    if down > 1:
+        out = _slice_axis(out, 0, None, axis, step=down)
+    return out
+
+
 def _separable_fir(
     x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
 ) -> jax.Array:
     """Apply :func:`upfirdn2d` with the separable kernel outer(k1d, k1d) as two
-    1-D depthwise passes (H then W) — half the FLOPs of the 2-D form."""
-    k = jnp.asarray(k1d[::-1].copy())  # flip: convolution
-    pad_eff = (pad[0], pad[1] + up - 1)
-    x = _depthwise_conv(
-        x, k[:, None], up=(up, 1), down=(down, 1), pad_h=pad_eff, pad_w=(0, 0)
-    )
-    x = _depthwise_conv(
-        x, k[None, :], up=(1, up), down=(1, down), pad_h=(0, 0), pad_w=pad_eff
-    )
+    1-D shift-and-add passes (H then W) — half the FLOPs of the 2-D form and
+    no depthwise-conv layout changes."""
+    x = _fir_axis(x, k1d, up=up, down=down, pad=pad, axis=-3)  # H (freq)
+    x = _fir_axis(x, k1d, up=up, down=down, pad=pad, axis=-2)  # W (time)
     return x
 
 
