@@ -68,6 +68,9 @@ class StreamingEnhancer:
         chunks = jnp.squeeze(chunks, axis=1)  # (n_chunks, chunk_len)
 
         # enhance in fixed-size batches so jit sees one batched shape
+        from flowdec_tpu.train.trainer import _jitted_enhance
+
+        fn = _jitted_enhance(tuple(sorted(self.enhance_kwargs.items())))
         outs = []
         bs = self.max_chunk_batch
         for b0 in range(0, n, bs):
@@ -75,9 +78,7 @@ class StreamingEnhancer:
             pad_rows = bs - block.shape[0]
             if pad_rows:
                 block = jnp.pad(block, ((0, pad_rows), (0, 0)))
-            out = self.model.enhance(
-                self.params, jax.random.fold_in(key, b0), block, **self.enhance_kwargs
-            )
+            out = fn(self.model, self.params, jax.random.fold_in(key, b0), block)
             outs.append(np.asarray(out)[: bs - pad_rows if pad_rows else bs])
         enhanced = jnp.asarray(np.concatenate(outs, axis=0))
 

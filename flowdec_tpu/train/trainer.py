@@ -44,10 +44,27 @@ def bucket_length(model, length: int) -> int:
     return (frames64 - 1) * hop
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_enhance(kwargs_items):
+    """One jitted enhance per static-kwarg combination; jax.jit's own cache
+    handles (model config, shapes). Without this, model.enhance dispatches
+    op-by-op (the model method itself is not jitted)."""
+    kwargs = dict(kwargs_items)
+
+    @jax.jit
+    def fn(model, params, key, y):
+        return model.enhance(params, key, y, **kwargs)
+
+    return fn
+
+
 def enhance_bucketed(model, params, key, y: np.ndarray, **enhance_kwargs):
     """Enhance a variable-length waveform via shape bucketing: zero-pad the
     tail to the bucket length (few distinct compiled shapes), crop the
-    output back."""
+    output back. Runs through a cached jitted enhance."""
     y = np.asarray(y, np.float32)
     squeeze = y.ndim == 1
     if squeeze:
@@ -55,7 +72,8 @@ def enhance_bucketed(model, params, key, y: np.ndarray, **enhance_kwargs):
     length = y.shape[-1]
     target = bucket_length(model, length)
     y_pad = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, target - length))])
-    x_hat = model.enhance(params, key, jnp.asarray(y_pad), **enhance_kwargs)
+    fn = _jitted_enhance(tuple(sorted(enhance_kwargs.items())))
+    x_hat = fn(model, params, key, jnp.asarray(y_pad))
     x_hat = np.asarray(x_hat)[..., :length]
     return x_hat[0] if squeeze else x_hat
 
