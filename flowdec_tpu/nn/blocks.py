@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowdec_tpu.nn.layers import NIN, Conv1x1, Conv3x3, default_init, group_norm
+from flowdec_tpu.nn.layers import NIN, Conv1x1, Conv3x3, default_init, group_norm, group_norm_act
 from flowdec_tpu.ops.upfirdn import (
     conv_downsample_2d,
     downsample_2d,
@@ -160,6 +160,7 @@ class ResnetBlockBigGAN(nn.Module):
     fir_kernel: Sequence[float] = (1.0, 3.0, 3.0, 1.0)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    fused_gn: bool = False  # Pallas-fused GroupNorm+SiLU (perf knob)
 
     @nn.compact
     def __call__(
@@ -168,7 +169,7 @@ class ResnetBlockBigGAN(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        h = self.act(group_norm(in_ch)(x))
+        h = group_norm_act(in_ch, self.act, self.fused_gn, name="GroupNorm_0")(x)
 
         if self.up:
             resize = (
@@ -188,7 +189,7 @@ class ResnetBlockBigGAN(nn.Module):
         h = Conv3x3(out_ch, name="Conv_0")(h)
         if temb is not None:
             h = h + _TembDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = group_norm_act(out_ch, self.act, self.fused_gn, name="GroupNorm_1")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
@@ -219,11 +220,11 @@ class ResnetBlockDDPM(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        h = self.act(group_norm(in_ch)(x))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
         h = Conv3x3(out_ch, name="Conv_0")(h)
         if temb is not None:
             h = h + _TembDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)

@@ -24,6 +24,7 @@ __all__ = [
     "GaussianFourierProjection",
     "positional_time_embedding",
     "group_norm",
+    "FusedGroupNormSiLU",
 ]
 
 
@@ -146,3 +147,31 @@ def positional_time_embedding(
     if embedding_dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))
     return emb
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm + SiLU via the fused Pallas kernel (ops/groupnorm_pallas).
+
+    Parameter names (scale, bias) match nn.GroupNorm so checkpoints are
+    interchangeable with the unfused path.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from flowdec_tpu.ops.groupnorm_pallas import fused_group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return fused_group_norm_silu(x, scale, bias, self.num_groups, self.epsilon)
+
+
+def group_norm_act(ch: int, act, fused: bool, name: str | None = None):
+    """act(GroupNorm(x)) — fused Pallas path when `fused` and act is SiLU."""
+    if fused and act in (_ACTS["swish"],):
+        return FusedGroupNormSiLU(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
+    gn = group_norm(ch, name=name)
+    return lambda x: act(gn(x))

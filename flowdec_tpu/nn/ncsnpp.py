@@ -51,6 +51,7 @@ from flowdec_tpu.nn.layers import (
     default_init,
     get_act,
     group_norm,
+    group_norm_act,
     positional_time_embedding,
 )
 
@@ -90,6 +91,8 @@ class NCSNppConfig:
     # required to train the 75M model at batch 8 × 2 s crops in one chip's
     # HBM. No effect on inference-only jits.
     remat: bool = False
+    # Pallas-fused GroupNorm+SiLU (perf knob; only active with swish)
+    fused_groupnorm: bool = False
 
     def __post_init__(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -152,7 +155,10 @@ class NCSNpp(nn.Module):
             init_scale=cfg.init_scale,
         )
         if cfg.resblock_type == "biggan":
-            common.update(fir=cfg.fir, fir_kernel=cfg.fir_kernel)
+            common.update(
+                fir=cfg.fir, fir_kernel=cfg.fir_kernel,
+                fused_gn=cfg.fused_groupnorm,
+            )
 
         if t.ndim == 0:
             t = t[None]
@@ -275,18 +281,20 @@ class NCSNpp(nn.Module):
             if cfg.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if cfg.progressive == "output_skip":
-                        pyramid = act(
-                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
-                        )
+                        pyramid = group_norm_act(
+                            h.shape[-1], act, cfg.fused_groupnorm,
+                            name=f"up_{i_level}_pyramid_norm",
+                        )(h)
                         pyramid = Conv3x3(
                             cfg.num_channels,
                             init_scale=cfg.init_scale,
                             name=f"up_{i_level}_pyramid_conv",
                         )(pyramid)
                     else:  # residual
-                        pyramid = act(
-                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
-                        )
+                        pyramid = group_norm_act(
+                            h.shape[-1], act, cfg.fused_groupnorm,
+                            name=f"up_{i_level}_pyramid_norm",
+                        )(h)
                         pyramid = Conv3x3(
                             h.shape[-1], name=f"up_{i_level}_pyramid_conv"
                         )(pyramid)
@@ -298,9 +306,10 @@ class NCSNpp(nn.Module):
                             fir_kernel=cfg.fir_kernel,
                             name=f"up_{i_level}_pyramid_upsample",
                         )(pyramid)
-                        pyramid_h = act(
-                            group_norm(h.shape[-1], name=f"up_{i_level}_pyramid_norm")(h)
-                        )
+                        pyramid_h = group_norm_act(
+                            h.shape[-1], act, cfg.fused_groupnorm,
+                            name=f"up_{i_level}_pyramid_norm",
+                        )(h)
                         pyramid_h = Conv3x3(
                             cfg.num_channels,
                             init_scale=cfg.init_scale,
