@@ -151,8 +151,28 @@ def _separable_fir(
     x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
 ) -> jax.Array:
     """Apply :func:`upfirdn2d` with the separable kernel outer(k1d, k1d) as two
-    1-D shift-and-add passes (H then W) — half the FLOPs of the 2-D form and
-    no depthwise-conv layout changes."""
+    1-D depthwise passes (H then W) — half the FLOPs of the 2-D form.
+
+    Measured on v5e (PERF.md): the depthwise-conv form beats the
+    shift-and-add form in :func:`_fir_axis` (5.9× vs 7.9× RT end to end —
+    the zero-stuff interleave and stride-2 slices cost more in layout
+    rearrangement than the depthwise convs do)."""
+    k = jnp.asarray(k1d[::-1].copy())  # flip: convolution
+    pad_eff = (pad[0], pad[1] + up - 1)
+    x = _depthwise_conv(
+        x, k[:, None], up=(up, 1), down=(down, 1), pad_h=pad_eff, pad_w=(0, 0)
+    )
+    x = _depthwise_conv(
+        x, k[None, :], up=(1, up), down=(1, down), pad_h=(0, 0), pad_w=pad_eff
+    )
+    return x
+
+
+def _separable_fir_shift_add(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
+) -> jax.Array:
+    """Shift-and-add variant of :func:`_separable_fir` (kept for layout
+    experiments; exact per the oracle tests but slower on v5e)."""
     x = _fir_axis(x, k1d, up=up, down=down, pad=pad, axis=-3)  # H (freq)
     x = _fir_axis(x, k1d, up=up, down=down, pad=pad, axis=-2)  # W (time)
     return x
