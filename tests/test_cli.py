@@ -150,3 +150,28 @@ def test_train_cli_resume(workspace):
     mgr = CheckpointManager(str(workspace / "ckpts" / "cli_test"))
     assert mgr.latest_step() == 6
     mgr.close()
+
+
+def test_evaluate_cli(workspace, tmp_path):
+    """Offline evaluation script over an enhance.py triples list."""
+    import importlib
+
+    evaluate = importlib.import_module("scripts.evaluate")
+    triples = tmp_path / "triples.txt"
+    lines = []
+    for i in range(2):
+        c = workspace / f"speech_c{i}.wav"
+        y = workspace / f"speech_y{i}.wav"
+        lines.append(f"{c},{y},{y}\n")  # "enhanced" = noisy (smoke)
+    triples.write_text("".join(lines))
+    out_csv = str(tmp_path / "metrics.csv")
+    evaluate.main([
+        "--triples", str(triples), "--sr", str(SR),
+        "--metrics", "sisxr", "snrseg", "--out", out_csv,
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert {"sisdr", "sisir", "sisar", "snrseg", "name"} <= set(df.columns)
+    assert len(df) == 2
+    assert np.isfinite(df["sisdr"]).all()
