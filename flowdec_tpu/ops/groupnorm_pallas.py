@@ -43,7 +43,11 @@ def group_norm_silu_reference(
     return jax.nn.silu(norm * scale + bias)
 
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, stats_ref, *, num_groups, eps, n_h_tiles):
+def _kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, stats_ref, *,
+            num_groups, eps, n_h_tiles):
+    """Mosaic-friendly formulation: no reshapes across lanes. Phase 0 keeps
+    PER-CHANNEL (sum, sumsq) — a sublane reduction; phase 1 folds channels →
+    groups and broadcasts back via one-hot matmuls with gmat (C, G)."""
     phase = pl.program_id(1)
     h_tile = pl.program_id(2)
 
@@ -57,22 +61,22 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, stats_ref, *, num_groups, eps, n_
 
     @pl.when(phase == 0)
     def _accumulate():
-        g = tile.reshape(ht * w, num_groups, cg).astype(jnp.float32)
-        s = jnp.sum(g, axis=(0, 2))  # (G,)
-        s2 = jnp.sum(jnp.square(g), axis=(0, 2))
-        stats_ref[0, :] += s
-        stats_ref[1, :] += s2
+        t32 = tile.astype(jnp.float32)
+        stats_ref[0, :] += jnp.sum(t32, axis=(0, 1))  # (C,)
+        stats_ref[1, :] += jnp.sum(jnp.square(t32), axis=(0, 1))
 
     @pl.when(phase == 1)
     def _apply():
+        gmat = gmat_ref[...]  # (C, G) one-hot group membership
         count = jnp.float32(ht * n_h_tiles * w * cg)
-        mean = stats_ref[0, :] / count  # (G,)
-        var = jnp.maximum(stats_ref[1, :] / count - jnp.square(mean), 0.0)
-        inv = jax.lax.rsqrt(var + eps)
-        mean_c = jnp.repeat(mean, cg)  # (C,)
-        inv_c = jnp.repeat(inv, cg)
-        # affine: (x - mean) * inv * scale + bias, then SiLU (stats in f32;
-        # output written back in the input dtype)
+        sum_g = jnp.dot(stats_ref[0, :], gmat, preferred_element_type=jnp.float32)
+        sum2_g = jnp.dot(stats_ref[1, :], gmat, preferred_element_type=jnp.float32)
+        mean_g = sum_g / count  # (G,)
+        var_g = jnp.maximum(sum2_g / count - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        # broadcast back to channels: (G,) @ (G, C)
+        mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
+        inv_c = jnp.dot(inv_g, gmat.T, preferred_element_type=jnp.float32)
         t32 = tile.astype(jnp.float32)
         y = (t32 - mean_c) * inv_c * scale_ref[...].astype(jnp.float32) + (
             bias_ref[...].astype(jnp.float32)
@@ -119,6 +123,10 @@ def _fused_fwd_impl(x, scale, bias, num_groups, eps, h_tile, interpret=False):
     kernel = functools.partial(
         _kernel, num_groups=num_groups, eps=eps, n_h_tiles=n_h_tiles
     )
+    cg = c // num_groups
+    gmat = jnp.asarray(
+        np.repeat(np.eye(num_groups, dtype=np.float32), cg, axis=0)
+    )  # (C, G) one-hot group membership
     grid = (b, 2, n_h_tiles)  # batch → phase → h-tile (sequential on TPU)
     return pl.pallas_call(
         kernel,
@@ -132,13 +140,16 @@ def _fused_fwd_impl(x, scale, bias, num_groups, eps, h_tile, interpret=False):
             ),
             pl.BlockSpec((c,), lambda bi, p, hi: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda bi, p, hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, num_groups), lambda bi, p, hi: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, ht, w, c), lambda bi, p, hi: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((2, num_groups), jnp.float32)],
-    )(x, scale, bias)
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+    )(x, scale, bias, gmat)
 
 
 def _fwd(x, scale, bias, num_groups, eps, h_tile, interpret):
