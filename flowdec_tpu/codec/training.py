@@ -8,7 +8,7 @@ waveform L1 reconstruction losses + RVQ commitment/codebook terms, Adam, EMA.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ map_location='cpu')` — torch is only needed for the one-time conversion.)
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

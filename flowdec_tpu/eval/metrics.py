@@ -22,7 +22,6 @@ the jitted path (the reference likewise computes metrics on CPU tensors).
 
 from __future__ import annotations
 
-import math
 import os
 import warnings
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union

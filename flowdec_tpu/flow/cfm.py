@@ -16,10 +16,9 @@ calibrates against that scale — and `randn_like` for plain N(0,1).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from flowdec_tpu.ops.cpair import crandn_like
 

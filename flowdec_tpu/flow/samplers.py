@@ -17,7 +17,7 @@ plus the reference's custom Heun2 / Heun2-with-Euler-last-step
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

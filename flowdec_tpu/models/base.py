@@ -12,15 +12,14 @@ cpair arrays (B, F, T, 2) — see ops/cpair.py.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
 from flowdec_tpu.models.features import FeatureExtractor
-from flowdec_tpu.nn.ncsnpp import NCSNpp, NCSNppConfig
+from flowdec_tpu.nn.ncsnpp import NCSNpp
 from flowdec_tpu.ops.padding import normalize_noisy, pad_spec, unpad_spec
 
 __all__ = ["PreprocessInfo", "EnhancementModel", "leading_shape_to_batch"]

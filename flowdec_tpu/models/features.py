@@ -14,10 +14,9 @@ the reference, feature_extractors.py:22) is enforced by tests here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from flowdec_tpu.ops.compression import compress_pair, decompress_pair
 from flowdec_tpu.ops.stft import StftConfig, istft_pair, stft_pair

@@ -14,7 +14,7 @@ Capability parity with FlowModel (/root/reference/flowdec/model.py:391-536):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flowdec_tpu.flow.cfm import crandn_like, sample_location_and_conditional_flow
 from flowdec_tpu.ops.cpair import cabs2
 from flowdec_tpu.flow.samplers import ode_solve
-from flowdec_tpu.models.base import EnhancementModel, PreprocessInfo
+from flowdec_tpu.models.base import EnhancementModel
 
 __all__ = ["FlowModel"]
 

@@ -7,7 +7,7 @@ input-pyramid Combine, and the NIN self-attention block.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ from JAX* in layers.py:64-101, so we simply use flax's variance_scaling).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,7 @@ fir on/off, attention by resolution + bottleneck.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ import math
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["fused_leaky_relu"]
 

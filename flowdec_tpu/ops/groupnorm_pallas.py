@@ -17,7 +17,6 @@ the kernel is safe inside training graphs too (fwd fused, bwd recomputed).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

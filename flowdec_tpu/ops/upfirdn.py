@@ -16,7 +16,6 @@ All functions use NHWC layout (batch, freq, time, channels).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

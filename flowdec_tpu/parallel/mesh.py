@@ -16,8 +16,7 @@ Axes:
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ the Trainer reads them from the raw config (functional split of concerns).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

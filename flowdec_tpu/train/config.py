@@ -17,10 +17,9 @@ from __future__ import annotations
 import copy
 import functools
 import importlib
-import json
 import os
 import re
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence
 
 import yaml
 

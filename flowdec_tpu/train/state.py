@@ -11,7 +11,7 @@ that; XLA fuses ours for free).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import flax.struct
 import jax

@@ -38,6 +38,11 @@ def main(argv=None):
         "--finetune", action="store_true",
         help="load weights from --resume-from-checkpoint but start a new run",
     )
+    parser.add_argument(
+        "--optimized-metric", default=None,
+        help="run a final validation and print/return this metric "
+             "(the reference's Optuna-sweep return value, train.py:117-122)",
+    )
     args = parser.parse_args(argv)
 
     from flowdec_tpu.parallel import initialize_distributed, is_primary_host
@@ -119,12 +124,20 @@ def main(argv=None):
 
         _, init_params, _ = load_model(args.resume_from_checkpoint, ema=False)
 
-    trainer.fit(
+    state = trainer.fit(
         resume=not cfg.get("force_new_run", False) and not args.finetune,
         init_params=init_params,
     )
+
+    result = None
+    if args.optimized_metric:
+        final = trainer.validate(state, step=int(state.step))
+        result = final.get(args.optimized_metric)
+        print(f"optimized_metric {args.optimized_metric}={result}")
+
     if run_logger is not None:
         run_logger.finish()
+    return result
 
 
 if __name__ == "__main__":
