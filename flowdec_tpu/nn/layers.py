@@ -170,8 +170,13 @@ class FusedGroupNormSiLU(nn.Module):
 
 
 def group_norm_act(ch: int, act, fused: bool, name: str | None = None):
-    """act(GroupNorm(x)) — fused Pallas path when `fused` and act is SiLU."""
+    """act(GroupNorm(x)) — fused Pallas path when `fused` and act is SiLU.
+
+    The unfused path casts the GN output back to the input dtype: flax
+    GroupNorm computes statistics in f32 and returns the promoted dtype, which
+    silently upgraded every downstream conv to f32 in bf16 inference (measured:
+    188/202 convs f32 before this cast)."""
     if fused and act in (_ACTS["swish"],):
         return FusedGroupNormSiLU(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
     gn = group_norm(ch, name=name)
-    return lambda x: act(gn(x))
+    return lambda x: act(gn(x).astype(x.dtype))

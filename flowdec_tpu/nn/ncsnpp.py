@@ -248,7 +248,7 @@ class NCSNpp(nn.Module):
                         name=f"down_{i_level}_pyramid_downsample",
                     )(input_pyramid)
                     if cfg.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * 0.7071067811865476
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -325,7 +325,7 @@ class NCSNpp(nn.Module):
                             name=f"up_{i_level}_pyramid_upsample",
                         )(pyramid)
                         if cfg.skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) * 0.7071067811865476
                         else:
                             pyramid = pyramid + h
                         h = pyramid
@@ -348,7 +348,7 @@ class NCSNpp(nn.Module):
         if cfg.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(group_norm(h.shape[-1], name="norm_out")(h))
+            h = act(group_norm(h.shape[-1], name="norm_out")(h).astype(h.dtype))
             h = Conv3x3(
                 cfg.num_channels, init_scale=cfg.init_scale, name="conv_out"
             )(h)

@@ -68,14 +68,15 @@ def _kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, stats_ref, *,
     def _apply():
         gmat = gmat_ref[...]  # (C, G) one-hot group membership
         count = jnp.float32(ht * n_h_tiles * w * cg)
-        sum_g = jnp.dot(stats_ref[0, :], gmat, preferred_element_type=jnp.float32)
-        sum2_g = jnp.dot(stats_ref[1, :], gmat, preferred_element_type=jnp.float32)
-        mean_g = sum_g / count  # (G,)
-        var_g = jnp.maximum(sum2_g / count - jnp.square(mean_g), 0.0)
-        inv_g = jax.lax.rsqrt(var_g + eps)
-        # broadcast back to channels: (G,) @ (G, C)
-        mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
-        inv_c = jnp.dot(inv_g, gmat.T, preferred_element_type=jnp.float32)
+        # 2-D matmuls only (this Mosaic rejects vector×matrix dots):
+        # (2, C) @ (C, G) → per-group sums; fold back (2, G) @ (G, C) → (2, C)
+        stats_g = jnp.dot(stats_ref[...], gmat, preferred_element_type=jnp.float32)
+        mean_g = stats_g[0:1, :] / count  # (1, G)
+        var_g = jnp.maximum(stats_g[1:2, :] / count - jnp.square(mean_g), 0.0)
+        mi_g = jnp.concatenate([mean_g, jax.lax.rsqrt(var_g + eps)], axis=0)  # (2, G)
+        mi_c = jnp.dot(mi_g, gmat.T, preferred_element_type=jnp.float32)  # (2, C)
+        mean_c = mi_c[0, :]
+        inv_c = mi_c[1, :]
         t32 = tile.astype(jnp.float32)
         y = (t32 - mean_c) * inv_c * scale_ref[...].astype(jnp.float32) + (
             bias_ref[...].astype(jnp.float32)
@@ -102,7 +103,9 @@ def fused_group_norm_silu(
     return _fused_fwd_impl(x, scale, bias, num_groups, eps, h_tile, interpret)
 
 
-def _pick_h_tile(h: int, w: int, c: int, budget_bytes: int = 8 * 2**20) -> int:
+def _pick_h_tile(h: int, w: int, c: int, budget_bytes: int = int(1.5 * 2**20)) -> int:
+    """Pick an H tile whose in+out double-buffered VMEM footprint
+    (~4× the block) stays within the ~16 MB scoped limit."""
     bytes_per_row = w * c * 4
     rows = max(1, budget_bytes // max(1, bytes_per_row))
     # largest divisor of h that is <= rows
@@ -148,6 +151,9 @@ def _fused_fwd_impl(x, scale, bias, num_groups, eps, h_tile, interpret=False):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14 * 2**20)
+        ),
     )(x, scale, bias, gmat)
 
 
