@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flowdec_tpu.parallel.mesh import DATA_AXIS
 from flowdec_tpu.train.state import TrainState, masked_optimizer
 
-__all__ = ["build_train_step", "make_train_step", "make_eval_step", "fsdp_state_shardings"]
+__all__ = ["build_train_step", "make_train_step", "make_finetune_step", "make_eval_step", "fsdp_state_shardings"]
 
 
 def build_train_step(model, optimizer: optax.GradientTransformation, *, ema_decay: float = 0.999):
@@ -144,6 +144,67 @@ def _match_opt_shardings(opt_state, params, param_shardings, repl):
         return repl
 
     return walk(opt_state)
+
+
+def make_finetune_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    aux_losses,
+    aux_weights=(),
+    aux_weight: float = 1.0,
+    *,
+    ema_decay: float = 0.999,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Train step using FlowModel.finetune_loss (CFM + waveform-domain aux
+    losses on the one-step reconstruction — the reference's stripped
+    finetuning stage, wired). batch = (x, y, speech_mask)."""
+    opt = masked_optimizer(optimizer)
+    aux_losses = tuple(aux_losses)
+    aux_weights = tuple(aux_weights)
+
+    def step_fn(state: TrainState, batch, key: jax.Array):
+        x, y, speech_mask = batch
+
+        def loss_fn(params):
+            return model.finetune_loss(
+                params, key, (x, y),
+                aux_losses=aux_losses, aux_weights=aux_weights,
+                speech_mask=speech_mask, aux_weight=aux_weight, train=True,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, new_params,
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            ema_params=new_ema, opt_state=new_opt_state,
+        )
+        metrics = {
+            "train_loss": loss,
+            "cfm_loss": aux["cfm_loss"],
+            "aux_loss": aux["aux_loss"],
+            "grad_norm": optax.global_norm(grads),
+            "n_nan": aux["n_nan"],
+        }
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_args)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=donate_args,
+    )
 
 
 def make_eval_step(model, *, ema: bool = True, mesh: Optional[Mesh] = None):

@@ -172,3 +172,27 @@ def test_fsdp_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
     jax.tree.map(close, state_single.params, state_fsdp.params)
+
+
+def test_finetune_step():
+    """Finetune step (CFM + aux waveform losses + speech-mask routing) runs
+    and reduces the combined objective."""
+    from flowdec_tpu.losses import MultiScaleSTFTLoss
+    from flowdec_tpu.train.steps import make_finetune_step
+
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step = make_finetune_step(
+        model, optimizer, aux_losses=[MultiScaleSTFTLoss(window_lengths=(256,))],
+        aux_weight=0.1,
+    )
+    x, y = _batch(batch_size=4)
+    mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    losses = []
+    for i in range(8):
+        state, m = step(state, (x, y, mask), jax.random.fold_in(jax.random.PRNGKey(1), i % 2))
+        losses.append(float(m["train_loss"]))
+        assert np.isfinite(losses[-1])
+        assert float(m["aux_loss"]) >= 0
+    assert losses[-1] < losses[0]
