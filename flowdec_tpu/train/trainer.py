@@ -99,6 +99,8 @@ class Trainer:
         mesh: Optional[object] = "auto",
         seed: int = 0,
         crop_frames: int = 256,
+        aux_losses: Optional[List] = None,
+        aux_weight: float = 1.0,
     ):
         self.model = model
         self.datamodule = datamodule
@@ -127,9 +129,20 @@ class Trainer:
         if mesh == "auto":
             mesh = make_mesh()
         self.mesh = mesh  # None = single-device (no explicit sharding)
-        self.train_step = make_train_step(
-            model, optimizer, ema_decay=ema_decay, mesh=mesh
-        )
+        # aux_losses switches to the finetuning objective (CFM + waveform-
+        # domain losses on one-step reconstructions, speech-gated)
+        self.aux_losses = list(aux_losses or [])
+        if self.aux_losses:
+            from flowdec_tpu.train.steps import make_finetune_step
+
+            self.train_step = make_finetune_step(
+                model, optimizer, self.aux_losses, aux_weight=aux_weight,
+                ema_decay=ema_decay, mesh=mesh,
+            )
+        else:
+            self.train_step = make_train_step(
+                model, optimizer, ema_decay=ema_decay, mesh=mesh
+            )
         self.eval_step = make_eval_step(model, ema=True, mesh=mesh)
 
     # --- helpers ---
@@ -271,12 +284,24 @@ class Trainer:
             except ValueError:  # not in main thread
                 pass
 
+        from flowdec_tpu.eval.metrics import get_audiotype_from_basename
+
         t_last = time.perf_counter()
         while step < self.max_steps and not preempted["flag"]:
-            for x, y, _names in loader.epoch(self.current_epoch):
+            for x, y, names in loader.epoch(self.current_epoch):
                 if step >= self.max_steps or preempted["flag"]:
                     break
-                batch = self._place((jnp.asarray(x), jnp.asarray(y)))
+                if self.aux_losses:
+                    speech_mask = jnp.asarray(
+                        [
+                            1.0 if get_audiotype_from_basename(n) == "speech" else 0.0
+                            for n in names
+                        ],
+                        dtype=jnp.float32,
+                    )
+                    batch = self._place((jnp.asarray(x), jnp.asarray(y), speech_mask))
+                else:
+                    batch = self._place((jnp.asarray(x), jnp.asarray(y)))
                 state, metrics = self.train_step(
                     state, batch, jax.random.fold_in(key, step)
                 )

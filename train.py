@@ -115,6 +115,8 @@ def main(argv=None):
         logger=run_logger,
         checkpoint_manager=ckpt,
         crop_frames=crop_frames,
+        aux_losses=instantiate(cfg.get("aux_losses", [])) or None,
+        aux_weight=float(cfg.get("aux_loss_weight", 1.0)),
     )
 
     init_params = None
