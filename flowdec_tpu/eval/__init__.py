@@ -1,5 +1,6 @@
 """Evaluation metrics and harnesses (L5b of the layer map)."""
 
+from flowdec_tpu.eval.evaluate import evaluate_model
 from flowdec_tpu.eval.metrics import (
     DNSMOS,
     ESTOI,
@@ -19,6 +20,7 @@ from flowdec_tpu.eval.metrics import (
 )
 
 __all__ = [
+    "evaluate_model",
     "DNSMOS",
     "ESTOI",
     "FWSNRseg",

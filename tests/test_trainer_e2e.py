@@ -188,3 +188,29 @@ def test_streaming_enhancer_long_file():
     out = enhancer(jax.random.PRNGKey(1), y)
     assert out.shape == y.shape
     assert np.all(np.isfinite(out))
+
+
+def test_evaluate_model_api():
+    """Public evaluate_model API (reference model.py:306-348): DataFrame +
+    audio dicts, shape-mismatch files skipped for metrics."""
+    from flowdec_tpu.eval import evaluate_model
+    from flowdec_tpu.eval.metrics import SISXR
+
+    model = _tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    rng = np.random.default_rng(0)
+    audios = []
+    for i, n in enumerate((3000, 4000)):
+        x = rng.standard_normal(n).astype(np.float32) * 0.1
+        y = (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        audios.append((x, y, f"speech_{i}.wav"))
+    # mismatched pair: skipped for metrics, still enhanced
+    audios.append((rng.standard_normal(2000).astype(np.float32),
+                   rng.standard_normal(2500).astype(np.float32), "bad.wav"))
+
+    df, outs = evaluate_model(
+        model, params, audios, [SISXR(SR)], n_steps=1, solver="euler"
+    )
+    assert len(df) == 2 and len(outs) == 3
+    assert np.isfinite(df["sisdr"]).all()
+    assert outs[2]["x_hat"].shape == (2500,)
