@@ -14,7 +14,6 @@ import jax
 import numpy as np
 
 from flowdec_tpu.eval.metrics import get_metrics_row
-from flowdec_tpu.train.trainer import enhance_bucketed
 from flowdec_tpu.utils.logging import log
 
 __all__ = ["evaluate_model"]
@@ -30,6 +29,8 @@ def evaluate_model(
 ):
     """Returns (metrics DataFrame, list of {name, x_hat, x, y} dicts)."""
     import pandas as pd
+
+    from flowdec_tpu.train.trainer import enhance_bucketed  # lazy: avoids cycle
 
     log.info(f"Running evaluation with enhance_kwargs: {enhance_kwargs}")
     key = key if key is not None else jax.random.PRNGKey(0)
