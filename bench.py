@@ -22,6 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (compiles on this remote-device link
+    take ~15-25 min; caching makes reruns instant)."""
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/flowdec_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+_enable_compilation_cache()
+
+
 def build_model(compute_dtype=None):
     from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, FlowModel
     from flowdec_tpu.models import sigma_models

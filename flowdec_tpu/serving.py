@@ -79,8 +79,9 @@ class StreamingEnhancer:
             if pad_rows:
                 block = jnp.pad(block, ((0, pad_rows), (0, 0)))
             out = fn(self.model, self.params, jax.random.fold_in(key, b0), block)
-            outs.append(np.asarray(out)[: bs - pad_rows if pad_rows else bs])
-        enhanced = jnp.asarray(np.concatenate(outs, axis=0))
+            # keep on device: no per-block host sync; blocks pipeline
+            outs.append(out[: bs - pad_rows if pad_rows else bs])
+        enhanced = jnp.concatenate(outs, axis=0)
 
         merged = merge_chunks(enhanced, starts, len(y_norm))
         return np.asarray(merged) * peak
