@@ -107,10 +107,10 @@ def main() -> None:
         print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_f32_10s",
                           "value": round(rtf_f32, 2), "unit": "x_realtime",
                           "vs_baseline": round(rtf_f32 / 50.0, 3)}))
-        rtf_b4 = measure_rtf(model_bf16, params, seconds=5.0, batch=4, iters=4)
-        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_bf16_batch4",
-                          "value": round(rtf_b4, 2), "unit": "x_realtime",
-                          "vs_baseline": round(rtf_b4 / 50.0, 3)}))
+        rtf_b8 = measure_rtf(model_bf16, params, seconds=5.0, batch=8, iters=3)
+        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_bf16_batch8",
+                          "value": round(rtf_b8, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_b8 / 50.0, 3)}))
 
 
 if __name__ == "__main__":
