@@ -93,7 +93,24 @@ class EnhancementModel(flax.struct.PyTreeNode):
         n_bins = self.feature_extractor.n_bins
         dummy = jnp.zeros((batch, n_bins, frames, 2), dtype=jnp.float32)
         t = jnp.zeros((batch,), dtype=jnp.float32)
-        return self.backbone.init(key, dummy, dummy, t)
+        variables = self.backbone.init(key, dummy, dummy, t)
+        if getattr(self.feature_extractor, "learnable_window", False):
+            # learnable analysis/synthesis window (reference
+            # feature_extractors.py:75): a plain entry in the params
+            # collection so the optimizer/EMA treat it like any weight
+            import flax.core
+
+            variables = flax.core.unfreeze(variables)
+            variables["params"]["stft_window"] = jnp.asarray(
+                self.feature_extractor.initial_window(), jnp.float32
+            )
+        return variables
+
+    def stft_window(self, params) -> Optional[jax.Array]:
+        """The live learnable window from params, or None when static."""
+        if getattr(self.feature_extractor, "learnable_window", False):
+            return params["params"]["stft_window"]
+        return None
 
     # --- data representation ---
 
@@ -102,6 +119,7 @@ class EnhancementModel(flax.struct.PyTreeNode):
         y: jax.Array,
         x: Optional[jax.Array] = None,
         comp_eps: Optional[float] = None,
+        window: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array], PreprocessInfo]:
         """waveforms → padded compressed-STFT features.
 
@@ -112,12 +130,12 @@ class EnhancementModel(flax.struct.PyTreeNode):
             x, _ = leading_shape_to_batch(x)
 
         y, x, normfac = normalize_noisy(y, mode=self.normalize_mode, x=x)
-        Y = self.feature_extractor.forward(y, comp_eps=comp_eps)
+        Y = self.feature_extractor.forward(y, comp_eps=comp_eps, window=window)
         Y, orig_frames = pad_spec(Y, mode="zero", axis=-2)
 
         X = None
         if x is not None:
-            X = self.feature_extractor.forward(x, comp_eps=comp_eps)
+            X = self.feature_extractor.forward(x, comp_eps=comp_eps, window=window)
             X, _ = pad_spec(X, mode="zero", axis=-2)
             assert X.shape == Y.shape
 
@@ -129,10 +147,15 @@ class EnhancementModel(flax.struct.PyTreeNode):
         )
         return Y, X, info
 
-    def postprocess(self, X: jax.Array, info: PreprocessInfo) -> jax.Array:
+    def postprocess(
+        self,
+        X: jax.Array,
+        info: PreprocessInfo,
+        window: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """padded features → de-normalized waveform (inverse of preprocess)."""
         X = unpad_spec(X, info.orig_frames, axis=-2)
-        x = self.feature_extractor.invert(X, orig_length=info.orig_length)
+        x = self.feature_extractor.invert(X, orig_length=info.orig_length, window=window)
         x = x * info.normfac
         if info.squeeze_dims == 1:
             x = x[0]

@@ -32,16 +32,38 @@ __all__ = [
 
 
 class FeatureExtractor:
-    """Invertible one-to-one feature mapping: forward(x) and a true inverse."""
+    """Invertible one-to-one feature mapping: forward(x) and a true inverse.
 
-    def forward(self, x: jax.Array, comp_eps: Optional[float] = None) -> jax.Array:
+    `window` optionally overrides the static analysis window with a runtime
+    array — the hook that makes the window *learnable* (reference
+    feature_extractors.py:75 stores it as an nn.Parameter with
+    requires_grad=learnable_window; here the learned window lives in the
+    model's param pytree and is threaded in per call)."""
+
+    learnable_window: bool = False
+
+    def forward(
+        self,
+        x: jax.Array,
+        comp_eps: Optional[float] = None,
+        window: Optional[jax.Array] = None,
+    ) -> jax.Array:
         raise NotImplementedError
 
-    def invert(self, X: jax.Array, orig_length: Optional[int] = None) -> jax.Array:
+    def invert(
+        self,
+        X: jax.Array,
+        orig_length: Optional[int] = None,
+        window: Optional[jax.Array] = None,
+    ) -> jax.Array:
         raise NotImplementedError
 
-    def __call__(self, x, comp_eps=None):
-        return self.forward(x, comp_eps=comp_eps)
+    def initial_window(self):
+        """Initial window array for learnable-window params, or None."""
+        return None
+
+    def __call__(self, x, comp_eps=None, window=None):
+        return self.forward(x, comp_eps=comp_eps, window=window)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,30 +75,36 @@ class ComplexSTFT(FeatureExtractor):
     (compressed_complex_stft_final.yaml). `method` picks the DFT
     implementation ("auto": matmul-DFT on TPU, FFT elsewhere).
 
-    The reference optionally makes the window a *learnable* nn.Parameter
-    (feature_extractors.py:75, learnable_window); shipped configs never enable
-    it, so the window is static here (a learnable window would live in model
-    params — tracked as a capability TODO).
+    With learnable_window=True (reference feature_extractors.py:75), the
+    window is a model parameter: EnhancementModel.init_params seeds it from
+    initial_window() and forward/invert take the live array via `window=`.
     """
 
     stft_config: StftConfig
     method: str = "auto"
+    learnable_window: bool = False
 
     @property
     def n_bins(self) -> int:
         return self.stft_config.n_bins
 
-    def forward(self, x, comp_eps=None):
-        window = self.stft_config.window(x.dtype)
+    def initial_window(self):
+        return self.stft_config.window("float32") if self.learnable_window else None
+
+    def _window(self, window, dtype):
+        if window is None:
+            return self.stft_config.window(dtype)
+        return window.astype(dtype)
+
+    def forward(self, x, comp_eps=None, window=None):
         return stft_pair(
-            x, window, hop_length=self.stft_config.hop,
+            x, self._window(window, x.dtype), hop_length=self.stft_config.hop,
             center=self.stft_config.center, method=self.method,
         )
 
-    def invert(self, X, orig_length=None):
-        window = self.stft_config.window(X.dtype)
+    def invert(self, X, orig_length=None, window=None):
         return istft_pair(
-            X, window, hop_length=self.stft_config.hop,
+            X, self._window(window, X.dtype), hop_length=self.stft_config.hop,
             center=self.stft_config.center, length=orig_length, method=self.method,
         )
 
@@ -88,10 +116,10 @@ class CompressAmplitudes(FeatureExtractor):
     compression_exponent: float  # alpha
     scale_factor: float  # beta
 
-    def forward(self, X, comp_eps=None):
+    def forward(self, X, comp_eps=None, window=None):
         return compress_pair(X, self.compression_exponent, self.scale_factor, comp_eps)
 
-    def invert(self, X, orig_length=None):
+    def invert(self, X, orig_length=None, window=None):
         return decompress_pair(X, self.compression_exponent, self.scale_factor)
 
 
@@ -107,6 +135,7 @@ class AmplitudeCompressedComplexSTFT(FeatureExtractor):
     hop_length: Optional[int] = None
     n_hops: Optional[int] = None
     method: str = "auto"
+    learnable_window: bool = False
 
     @property
     def complex_stft(self) -> ComplexSTFT:
@@ -119,6 +148,7 @@ class AmplitudeCompressedComplexSTFT(FeatureExtractor):
                 n_hops=self.n_hops,
             ),
             method=self.method,
+            learnable_window=self.learnable_window,
         )
 
     @property
@@ -128,13 +158,16 @@ class AmplitudeCompressedComplexSTFT(FeatureExtractor):
     def num_frames(self, length: int) -> int:
         return self.complex_stft.stft_config.num_frames(length)
 
-    def forward(self, x, comp_eps=None):
-        X = self.complex_stft.forward(x)
+    def initial_window(self):
+        return self.complex_stft.initial_window()
+
+    def forward(self, x, comp_eps=None, window=None):
+        X = self.complex_stft.forward(x, window=window)
         return compress_pair(X, self.alpha, self.beta, comp_eps)
 
-    def invert(self, X, orig_length=None):
+    def invert(self, X, orig_length=None, window=None):
         X = decompress_pair(X, self.alpha, self.beta)
-        return self.complex_stft.invert(X, orig_length=orig_length)
+        return self.complex_stft.invert(X, orig_length=orig_length, window=window)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,21 +176,32 @@ class Sequential(FeatureExtractor):
 
     extractors: Tuple[FeatureExtractor, ...]
 
-    def forward(self, x, comp_eps=None):
+    @property
+    def learnable_window(self) -> bool:
+        return any(getattr(e, "learnable_window", False) for e in self.extractors)
+
+    def initial_window(self):
         for e in self.extractors:
-            x = e.forward(x, comp_eps=comp_eps)
+            w = e.initial_window()
+            if w is not None:
+                return w
+        return None
+
+    def forward(self, x, comp_eps=None, window=None):
+        for e in self.extractors:
+            x = e.forward(x, comp_eps=comp_eps, window=window)
         return x
 
-    def invert(self, X, orig_length=None):
+    def invert(self, X, orig_length=None, window=None):
         for e in reversed(self.extractors):
-            X = e.invert(X, orig_length=orig_length)
+            X = e.invert(X, orig_length=orig_length, window=window)
         return X
 
 
 @dataclasses.dataclass(frozen=True)
 class NoOp(FeatureExtractor):
-    def forward(self, x, comp_eps=None):
+    def forward(self, x, comp_eps=None, window=None):
         return x
 
-    def invert(self, X, orig_length=None):
+    def invert(self, X, orig_length=None, window=None):
         return X

@@ -54,7 +54,7 @@ class FlowModel(EnhancementModel):
         Returns (loss, aux) where aux carries per-sample errors and NaN stats.
         """
         x_wav, y_wav = batch
-        Ymu, Xmu, _ = self.preprocess(y_wav, x=x_wav)
+        Ymu, Xmu, _ = self.preprocess(y_wav, x=x_wav, window=self.stft_window(params))
         # preprocessing is constant w.r.t. params (reference runs it no_grad)
         Ymu = jax.lax.stop_gradient(Ymu)
         Xmu = jax.lax.stop_gradient(Xmu)
@@ -118,7 +118,8 @@ class FlowModel(EnhancementModel):
         masked samples are zeroed on both sides, contributing 0.
         """
         x_wav, y_wav = batch
-        Ymu, Xmu, info = self.preprocess(y_wav, x=x_wav)
+        window = self.stft_window(params)
+        Ymu, Xmu, info = self.preprocess(y_wav, x=x_wav, window=window)
         Ymu = jax.lax.stop_gradient(Ymu)
         Xmu = jax.lax.stop_gradient(Xmu)
 
@@ -138,8 +139,9 @@ class FlowModel(EnhancementModel):
         # one-step reconstruction → waveform
         t_b = t.reshape(t.shape + (1,) * (xt.ndim - 1))
         x1_hat = xt + (1.0 - t_b) * vt
-        wav_hat = self.postprocess(x1_hat, info)
-        wav_ref = jax.lax.stop_gradient(self.postprocess(Xmu, info))
+        # gradient flows into a learnable window via the synthesis ISTFT
+        wav_hat = self.postprocess(x1_hat, info, window=window)
+        wav_ref = jax.lax.stop_gradient(self.postprocess(Xmu, info, window=window))
 
         aux_total = 0.0
         aux_metrics: Dict[str, jax.Array] = {}
@@ -213,12 +215,13 @@ class FlowModel(EnhancementModel):
         NOTE on N semantics (as in the reference, model.py:487): n_steps is the
         number of solver steps, not the NFE — midpoint has NFE=2N.
         """
-        Y, _, info = self.preprocess(y)
+        window = self.stft_window(params)
+        Y, _, info = self.preprocess(y, window=window)
         out = self.enhance_features(
             params, key, Y, n_steps=n_steps, solver=solver, sigma_fac=sigma_fac,
             return_trajectory=return_trajectory,
         )
         if return_trajectory:
-            x_hats = jax.vmap(lambda X: self.postprocess(X, info))(out)
+            x_hats = jax.vmap(lambda X: self.postprocess(X, info, window=window))(out)
             return out, x_hats
-        return self.postprocess(out, info)
+        return self.postprocess(out, info, window=window)

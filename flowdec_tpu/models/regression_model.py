@@ -26,7 +26,7 @@ class RegressionModel(EnhancementModel):
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         assert self.loss_type == "l2"
         x_wav, y_wav = batch
-        Y, X, _ = self.preprocess(y_wav, x=x_wav)
+        Y, X, _ = self.preprocess(y_wav, x=x_wav, window=self.stft_window(params))
         Y = jax.lax.stop_gradient(Y)
         X = jax.lax.stop_gradient(X)
         t = jnp.zeros((X.shape[0],))
@@ -39,7 +39,8 @@ class RegressionModel(EnhancementModel):
         }
 
     def enhance(self, params, key: jax.Array, y: jax.Array, **_ignored):
-        Y, _, info = self.preprocess(y)
+        window = self.stft_window(params)
+        Y, _, info = self.preprocess(y, window=window)
         t = jnp.zeros((Y.shape[0],))
         X_hat = self.apply_backbone(params, Y, Y, t)
-        return self.postprocess(X_hat, info)
+        return self.postprocess(X_hat, info, window=window)

@@ -45,7 +45,7 @@ class ScoreModel(EnhancementModel):
         self, params, key: jax.Array, batch: Tuple[jax.Array, jax.Array], *, train: bool = True
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         x_wav, y_wav = batch
-        Ys, Xs, _ = self.preprocess(y_wav, x=x_wav)
+        Ys, Xs, _ = self.preprocess(y_wav, x=x_wav, window=self.stft_window(params))
         Ys = jax.lax.stop_gradient(Ys)
         Xs = jax.lax.stop_gradient(Xs)
 
@@ -90,7 +90,8 @@ class ScoreModel(EnhancementModel):
         denoise: bool = True,
     ):
         """Reverse-sample from the prior conditioned on Y (reference :630-657)."""
-        Y, _, info = self.preprocess(y)
+        window = self.stft_window(params)
+        Y, _, info = self.preprocess(y, window=window)
 
         def score_fn(xt, y_feat, t):
             return self.score(params, xt, y_feat, t)
@@ -112,4 +113,4 @@ class ScoreModel(EnhancementModel):
         else:
             raise ValueError(f"{sampler_type} is not a valid sampler type!")
 
-        return self.postprocess(X_hat, info)
+        return self.postprocess(X_hat, info, window=window)

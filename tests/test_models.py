@@ -217,3 +217,41 @@ def test_bf16_enhance_close_to_f32(flow_model_and_params, batch):
     denom = float(jnp.mean(jnp.abs(out32))) + 1e-9
     rel = float(jnp.mean(jnp.abs(out32 - out16))) / denom
     assert rel < 0.1, f"bf16 diverges from f32: rel={rel}"
+
+
+def test_learnable_window(batch):
+    """learnable_window=True puts the STFT window in params; gradients reach
+    it through the finetune path's differentiable ISTFT (reference
+    feature_extractors.py:75 learnable_window)."""
+    import dataclasses
+
+    from flowdec_tpu.losses.spectral import WaveformL1Loss
+
+    x, y = batch
+    model = FlowModel(
+        backbone=NCSNpp(TINY_BACKBONE),
+        feature_extractor=dataclasses.replace(FEX, learnable_window=True),
+        sampling_rate=SR,
+    )
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    w = params["params"]["stft_window"]
+    assert w.shape == (FEX.n_fft,)
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(FEX.complex_stft.stft_config.window()), rtol=1e-6
+    )
+
+    # plain CFM loss runs (preprocess is stop_gradient'ed → zero window grad)
+    loss, _ = model.loss(params, jax.random.PRNGKey(1), (x, y))
+    assert np.isfinite(float(loss))
+
+    def ft(p):
+        l, _ = model.finetune_loss(
+            p, jax.random.PRNGKey(2), (x, y), aux_losses=(WaveformL1Loss(),)
+        )
+        return l
+
+    g = jax.grad(ft)(params)["params"]["stft_window"]
+    assert np.asarray(jnp.abs(g)).sum() > 0, "no gradient reached the window"
+
+    out = model.enhance(params, jax.random.PRNGKey(3), y, n_steps=1)
+    assert out.shape == y.shape and np.isfinite(np.asarray(out)).all()

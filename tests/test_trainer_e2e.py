@@ -214,3 +214,28 @@ def test_evaluate_model_api():
     assert len(df) == 2 and len(outs) == 3
     assert np.isfinite(df["sisdr"]).all()
     assert outs[2]["x_hat"].shape == (2500,)
+
+
+def test_streaming_matches_single_shot_deterministic():
+    """With sigma_fac=0 the ODE is deterministic, so chunked overlap-add
+    streaming must match single-shot enhancement away from chunk boundaries
+    (conv receptive field + crossfade are the only differences)."""
+    model = _tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    rng = np.random.default_rng(0)
+    y = (0.3 * np.sin(2 * np.pi * 300 * np.arange(int(2.5 * SR)) / SR)
+         + 0.02 * rng.standard_normal(int(2.5 * SR))).astype(np.float32)
+
+    kwargs = dict(n_steps=2, solver="midpoint", sigma_fac=0.0)
+    single = enhance_bucketed(model, params, jax.random.PRNGKey(1), y, **kwargs)
+    enhancer = StreamingEnhancer(
+        model, params, chunk_seconds=1.0, overlap_seconds=0.3, enhance_kwargs=kwargs
+    )
+    streamed = enhancer(jax.random.PRNGKey(1), y)
+
+    # compare away from the global edges; tolerance covers receptive-field
+    # halos at chunk seams and per-chunk normalization differences
+    a = single[SR // 2 : -SR // 2]
+    b = streamed[SR // 2 : -SR // 2]
+    rel = np.mean(np.abs(a - b)) / (np.mean(np.abs(a)) + 1e-9)
+    assert rel < 0.15, f"streaming diverges from single-shot: rel={rel}"
