@@ -16,6 +16,7 @@ All functions use NHWC layout (batch, freq, time, channels).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 
 __all__ = [
     "setup_fir_kernel",
+    "set_fir_method",
     "upfirdn2d",
     "upsample_2d",
     "downsample_2d",
@@ -177,6 +179,87 @@ def _separable_fir_shift_add(
     return x
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_matrix(
+    length: int, up: int, down: int, lo: int, hi: int, k_bytes: bytes
+) -> np.ndarray:
+    """Dense banded matrix W (out_len, length) such that W @ x == 1-D upfirdn
+    of x (zero-stuff ×up incl. trailing zeros, pad (lo, hi), convolve, stride
+    ×down) — the exact upfirdn2d_native spec per axis.
+
+    Cached as NUMPY (device conversion happens per call: jnp arrays created
+    inside a trace must never be cached, they leak tracers)."""
+    k = np.frombuffer(k_bytes, dtype=np.float32)
+    kf = k[::-1]  # flip: convolution, not correlation
+    taps = len(kf)
+    padded_len = length * up + lo + hi
+    out_len = (padded_len - taps) // down + 1
+    w = np.zeros((out_len, length), np.float32)
+    for j in range(out_len):
+        for t in range(taps):
+            s = j * down + t - lo  # index into the zero-stuffed signal
+            if s % up == 0 and 0 <= s // up < length:
+                w[j, s // up] += kf[t]
+    return w
+
+
+def _fir_axis_matmul(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int,
+    pad: Tuple[int, int], axis: int,
+) -> jax.Array:
+    """1-D upfirdn along one axis as a dense matmul with a banded resample
+    matrix.
+
+    Depthwise (feature_group_count=C) convolutions don't map to the MXU and
+    force XLA layout conversions — profiling showed the FIR resampling paths
+    costing ~30% of device time in pure `copy`/`pad` ops. A dense (O, L)
+    resample matrix turns the whole up-FIR-down into ONE dot_general in the
+    native NHWC layout: ~L/taps× more FLOPs, but the model is data-movement
+    bound (~8% MXU), so FLOPs are nearly free while the copies vanish."""
+    axis = axis % x.ndim
+    w = _resample_matrix(x.shape[axis], up, down, pad[0], pad[1],
+                         np.asarray(k1d, np.float32).tobytes())
+    wj = jnp.asarray(w, x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.tensordot(moved, wj, axes=[[-1], [1]])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _separable_fir_matmul(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
+) -> jax.Array:
+    """Matmul variant of :func:`_separable_fir` (see _fir_axis_matmul)."""
+    x = _fir_axis_matmul(x, k1d, up=up, down=down, pad=pad, axis=-3)  # H
+    x = _fir_axis_matmul(x, k1d, up=up, down=down, pad=pad, axis=-2)  # W
+    return x
+
+
+_FIR_IMPLS = {
+    "depthwise": _separable_fir,
+    "shift_add": _separable_fir_shift_add,
+    "matmul": _separable_fir_matmul,
+}
+_fir_method = os.environ.get("FLOWDEC_FIR", "depthwise")
+
+
+def set_fir_method(name: str) -> None:
+    """Select the separable-FIR implementation globally ("depthwise",
+    "shift_add", "matmul"). Also settable via env FLOWDEC_FIR. Changing it
+    invalidates nothing persistent — jit caches key on the traced graph."""
+    assert name in _FIR_IMPLS, f"unknown FIR method {name!r}"
+    global _fir_method
+    _fir_method = name
+
+
+def _separable_fir_dispatch(
+    x: jax.Array, k1d: np.ndarray, *, up: int, down: int, pad: Tuple[int, int]
+) -> jax.Array:
+    return _FIR_IMPLS[_fir_method](x, k1d, up=up, down=down, pad=pad)
+
+
 def upsample_2d(x: jax.Array, k: Sequence[float], factor: int = 2, gain: float = 1.0) -> jax.Array:
     """FIR-filtered 2× upsampling (reference up_or_down_sampling.py:220-249)."""
     k1d = setup_fir_kernel(k)
@@ -184,7 +267,7 @@ def upsample_2d(x: jax.Array, k: Sequence[float], factor: int = 2, gain: float =
     scale = float(np.sqrt(gain) * factor)
     k1d = k1d * scale
     p = k1d.shape[0] - factor
-    return _separable_fir(
+    return _separable_fir_dispatch(
         x, k1d, up=factor, down=1, pad=((p + 1) // 2 + factor - 1, p // 2)
     )
 
@@ -193,7 +276,7 @@ def downsample_2d(x: jax.Array, k: Sequence[float], factor: int = 2, gain: float
     """FIR-filtered 2× downsampling (reference up_or_down_sampling.py:252-282)."""
     k1d = setup_fir_kernel(k) * float(np.sqrt(gain))
     p = k1d.shape[0] - factor
-    return _separable_fir(x, k1d, up=1, down=factor, pad=((p + 1) // 2, p // 2))
+    return _separable_fir_dispatch(x, k1d, up=1, down=factor, pad=((p + 1) // 2, p // 2))
 
 
 def upsample_conv_2d(
@@ -221,7 +304,7 @@ def upsample_conv_2d(
     )
     k1d = setup_fir_kernel(k) * float(np.sqrt(gain) * factor)
     p = (k1d.shape[0] - factor) - (kw - 1)
-    return _separable_fir(
+    return _separable_fir_dispatch(
         x, k1d, up=1, down=1, pad=((p + 1) // 2 + factor - 1, p // 2 + 1)
     )
 
@@ -238,7 +321,7 @@ def conv_downsample_2d(
     assert kh == kw
     k1d = setup_fir_kernel(k) * float(np.sqrt(gain))
     p = (k1d.shape[0] - factor) + (kw - 1)
-    x = _separable_fir(x, k1d, up=1, down=1, pad=((p + 1) // 2, p // 2))
+    x = _separable_fir_dispatch(x, k1d, up=1, down=1, pad=((p + 1) // 2, p // 2))
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

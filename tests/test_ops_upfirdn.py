@@ -161,3 +161,38 @@ def test_naive_resampling(x_nchw):
     down = np.asarray(naive_downsample_2d(_nchw_to_nhwc(x_nchw)))
     theirs = F.avg_pool2d(torch.from_numpy(x_nchw), 2).numpy()
     np.testing.assert_allclose(_nhwc_to_nchw(down), theirs, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["depthwise", "shift_add", "matmul"])
+def test_fir_methods_agree(x_nchw, method):
+    """All separable-FIR implementations (set_fir_method) produce identical
+    results for every resampler, including odd lengths and the fused
+    conv+resample forms."""
+    import flowdec_tpu.ops.upfirdn as U
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.moveaxis(x_nchw, 1, -1))
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((3, 3, x.shape[-1], 5)).astype(np.float32))
+    k = [1.0, 3.0, 3.0, 1.0]
+
+    U.set_fir_method("depthwise")
+    ref = [
+        U.upsample_2d(x, k),
+        U.downsample_2d(x, k),
+        U.upsample_conv_2d(x, w, k),
+        U.conv_downsample_2d(x, w, k),
+    ]
+    try:
+        U.set_fir_method(method)
+        got = [
+            U.upsample_2d(x, k),
+            U.downsample_2d(x, k),
+            U.upsample_conv_2d(x, w, k),
+            U.conv_downsample_2d(x, w, k),
+        ]
+    finally:
+        U.set_fir_method("depthwise")
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)
