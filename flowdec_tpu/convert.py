@@ -37,6 +37,8 @@ __all__ = [
     "reference_module_layout",
     "convert_ncsnpp_state_dict",
     "expected_torch_keys",
+    "convert_dac_state_dict",
+    "expected_dac_torch_keys",
 ]
 
 
@@ -255,4 +257,148 @@ def expected_torch_keys(cfg: NCSNppConfig) -> List[str]:
             ]
         elif kind == "resample":
             names += [f"{base}.Conv2d_0.weight", f"{base}.Conv2d_0.bias"]
+    return names
+
+
+# ---------------------------------------------------------------------------
+# DAC (descript-audio-codec 1.0.0) → NDAC
+# ---------------------------------------------------------------------------
+
+def _fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Fold torch weight_norm (dim=0): w = g · v / ‖v‖ with the norm over all
+    dims except 0 (per output channel for Conv1d, per INPUT channel for
+    ConvTranspose1d — torch's default dim=0 either way)."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(np.square(v.astype(np.float64)), axis=axes, keepdims=True))
+    return np.asarray(g * v / norm, dtype=np.float32)
+
+
+def convert_dac_state_dict(state_dict: Dict[str, Any], config) -> Dict[str, Any]:
+    """torch DAC/NDAC state dict → Flax params for codec.ndac.NDAC.
+
+    FlowDec's underlying codecs (NDAC-25/75) are retrained
+    descript-audio-codec models consumed as torch checkpoints
+    (requirements.txt pins descript-audio-codec==1.0.0; demo.ipynb cell 3
+    loads them via dac.DAC). DAC 1.0.0's module tree is:
+
+        encoder.block.0                    WNConv1d(1, d, 7)
+        encoder.block.{1..R}.block.{0..2}  ResidualUnit(snake, dil-conv7,
+                                           snake, conv1) at dilations 1/3/9
+        encoder.block.{1..R}.block.3       Snake1d
+        encoder.block.{1..R}.block.4       WNConv1d(d/2, d, 2s, stride s)
+        encoder.block.{R+1}                Snake1d
+        encoder.block.{R+2}                WNConv1d(d_model, latent, 3)
+        quantizer.quantizers.{i}.in_proj   WNConv1d(latent, cb_dim, 1)
+        quantizer.quantizers.{i}.codebook  nn.Embedding(cb_size, cb_dim)
+        quantizer.quantizers.{i}.out_proj  WNConv1d(cb_dim, latent, 1)
+        decoder.model.0                    WNConv1d(latent, dec_dim, 7)
+        decoder.model.{1..R}.block.0       Snake1d
+        decoder.model.{1..R}.block.1       WNConvTranspose1d(d, d/2, 2s, s)
+        decoder.model.{1..R}.block.{2..4}  ResidualUnit at dilations 1/3/9
+        decoder.model.{R+1}                Snake1d
+        decoder.model.{R+2}                WNConv1d(ch, 1, 7)
+
+    Layout transforms: Conv1d (O, I, K) → (K, I, O); ConvTranspose1d
+    (I, O, K) → (K, I, O) with SPATIAL FLIP (torch's transposed conv
+    convolves, flax's cross-correlates — verified numerically in tests);
+    Snake alpha (1, C, 1) → (C,); weight norm folded via
+    :func:`_fold_weight_norm`; Embedding weight kept (cb_size, cb_dim).
+
+    `config` is a codec.ndac.NDACConfig describing the checkpoint geometry.
+    """
+    import flax
+
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def conv(tkey: str, *scope: str) -> None:
+        w = _fold_weight_norm(sd[f"{tkey}.weight_g"], sd[f"{tkey}.weight_v"])
+        out[scope + ("kernel",)] = np.transpose(w, (2, 1, 0))
+        out[scope + ("bias",)] = sd[f"{tkey}.bias"]
+
+    def conv_t(tkey: str, *scope: str) -> None:
+        w = _fold_weight_norm(sd[f"{tkey}.weight_g"], sd[f"{tkey}.weight_v"])
+        out[scope + ("kernel",)] = np.transpose(w, (2, 0, 1))[::-1].copy()
+        out[scope + ("bias",)] = sd[f"{tkey}.bias"]
+
+    def snake_alpha(tkey: str, *scope: str) -> None:
+        out[scope + ("alpha",)] = sd[f"{tkey}.alpha"].reshape(-1)
+
+    def res_unit(tbase: str, *scope: str) -> None:
+        snake_alpha(f"{tbase}.block.0", *scope, "snake_0")
+        conv(f"{tbase}.block.1", *scope, "conv_0")
+        snake_alpha(f"{tbase}.block.2", *scope, "snake_1")
+        conv(f"{tbase}.block.3", *scope, "conv_1")
+
+    n_rates = len(config.encoder_rates)
+
+    # encoder
+    conv("encoder.block.0", "encoder", "conv_in")
+    for i in range(n_rates):
+        t = f"encoder.block.{i + 1}"
+        s = ("encoder", f"block_{i}")
+        for j in range(3):
+            res_unit(f"{t}.block.{j}", *s, f"res_{j}")
+        snake_alpha(f"{t}.block.3", *s, "snake_out")
+        conv(f"{t}.block.4", *s, "down_conv")
+    snake_alpha(f"encoder.block.{n_rates + 1}", "encoder", "snake_out")
+    conv(f"encoder.block.{n_rates + 2}", "encoder", "conv_out")
+
+    # quantizer
+    for i in range(config.n_codebooks):
+        t = f"quantizer.quantizers.{i}"
+        s = ("quantizer", f"vq_{i}")
+        conv(f"{t}.in_proj", *s, "in_proj")
+        conv(f"{t}.out_proj", *s, "out_proj")
+        out[s + ("codebook",)] = sd[f"{t}.codebook.weight"]
+
+    # decoder
+    conv("decoder.model.0", "decoder", "conv_in")
+    for i in range(n_rates):
+        t = f"decoder.model.{i + 1}"
+        s = ("decoder", f"block_{i}")
+        snake_alpha(f"{t}.block.0", *s, "snake_in")
+        conv_t(f"{t}.block.1", *s, "up_conv")
+        for j in range(3):
+            res_unit(f"{t}.block.{j + 2}", *s, f"res_{j}")
+    snake_alpha(f"decoder.model.{n_rates + 1}", "decoder", "snake_out")
+    conv(f"decoder.model.{n_rates + 2}", "decoder", "conv_out")
+
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def expected_dac_torch_keys(config) -> List[str]:
+    """Key skeleton of a DAC 1.0.0 checkpoint for the given geometry."""
+    names: List[str] = []
+
+    def wn(base: str) -> List[str]:
+        return [f"{base}.weight_g", f"{base}.weight_v", f"{base}.bias"]
+
+    def res(base: str) -> List[str]:
+        return ([f"{base}.block.0.alpha"] + wn(f"{base}.block.1")
+                + [f"{base}.block.2.alpha"] + wn(f"{base}.block.3"))
+
+    n_rates = len(config.encoder_rates)
+    names += wn("encoder.block.0")
+    for i in range(n_rates):
+        t = f"encoder.block.{i + 1}"
+        for j in range(3):
+            names += res(f"{t}.block.{j}")
+        names += [f"{t}.block.3.alpha"] + wn(f"{t}.block.4")
+    names += [f"encoder.block.{n_rates + 1}.alpha"]
+    names += wn(f"encoder.block.{n_rates + 2}")
+    for i in range(config.n_codebooks):
+        t = f"quantizer.quantizers.{i}"
+        names += wn(f"{t}.in_proj") + wn(f"{t}.out_proj") + [f"{t}.codebook.weight"]
+    names += wn("decoder.model.0")
+    for i in range(n_rates):
+        t = f"decoder.model.{i + 1}"
+        names += [f"{t}.block.0.alpha"] + wn(f"{t}.block.1")
+        for j in range(3):
+            names += res(f"{t}.block.{j + 2}")
+    names += [f"decoder.model.{n_rates + 1}.alpha"]
+    names += wn(f"decoder.model.{n_rates + 2}")
     return names

@@ -140,3 +140,167 @@ def test_expected_keys_cover_layout():
     assert any("all_modules.0.W" in k for k in keys)
     idxs = {int(k.split(".")[1]) for k in keys}
     assert max(idxs) == len(layout) - 1
+
+
+# ---------------------------------------------------------------------------
+# DAC → NDAC conversion
+# ---------------------------------------------------------------------------
+
+
+def _torch_dac(cfg):
+    """Minimal torch replica of descript-audio-codec 1.0.0's module tree
+    (same state-dict key names), used as the conversion oracle."""
+    import math
+
+    import torch
+    import torch.nn as tnn
+    from torch.nn.utils import weight_norm
+
+    def WNConv1d(*a, **k):
+        return weight_norm(tnn.Conv1d(*a, **k))
+
+    def WNConvT1d(*a, **k):
+        return weight_norm(tnn.ConvTranspose1d(*a, **k))
+
+    class Snake1d(tnn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.alpha = tnn.Parameter(torch.rand(1, ch, 1) + 0.5)
+
+        def forward(self, x):
+            return x + (self.alpha + 1e-9).reciprocal() * torch.sin(self.alpha * x) ** 2
+
+    class ResidualUnit(tnn.Module):
+        def __init__(self, dim, dilation):
+            super().__init__()
+            pad = ((7 - 1) * dilation) // 2
+            self.block = tnn.Sequential(
+                Snake1d(dim),
+                WNConv1d(dim, dim, 7, dilation=dilation, padding=pad),
+                Snake1d(dim),
+                WNConv1d(dim, dim, 1),
+            )
+
+        def forward(self, x):
+            return x + self.block(x)
+
+    class EncoderBlock(tnn.Module):
+        def __init__(self, dim, stride):
+            super().__init__()
+            self.block = tnn.Sequential(
+                ResidualUnit(dim // 2, 1),
+                ResidualUnit(dim // 2, 3),
+                ResidualUnit(dim // 2, 9),
+                Snake1d(dim // 2),
+                WNConv1d(dim // 2, dim, 2 * stride, stride=stride,
+                         padding=math.ceil(stride / 2)),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    class DecoderBlock(tnn.Module):
+        def __init__(self, in_dim, out_dim, stride):
+            super().__init__()
+            self.block = tnn.Sequential(
+                Snake1d(in_dim),
+                WNConvT1d(in_dim, out_dim, 2 * stride, stride=stride,
+                          padding=math.ceil(stride / 2)),
+                ResidualUnit(out_dim, 1),
+                ResidualUnit(out_dim, 3),
+                ResidualUnit(out_dim, 9),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    class Quantizer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            mods = []
+            for _ in range(cfg.n_codebooks):
+                m = tnn.Module()
+                m.in_proj = WNConv1d(cfg.latent_dim, cfg.codebook_dim, 1)
+                m.out_proj = WNConv1d(cfg.codebook_dim, cfg.latent_dim, 1)
+                m.codebook = tnn.Embedding(cfg.codebook_size, cfg.codebook_dim)
+                mods.append(m)
+            self.quantizers = tnn.ModuleList(mods)
+
+        def from_codes(self, codes):
+            z_q = 0.0
+            for i in range(codes.shape[1]):
+                z_p = self.quantizers[i].codebook(codes[:, i]).transpose(1, 2)
+                z_q = z_q + self.quantizers[i].out_proj(z_p)
+            return z_q
+
+    class DAC(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            d = cfg.encoder_dim
+            enc = [WNConv1d(1, d, 7, padding=3)]
+            for s in cfg.encoder_rates:
+                d *= 2
+                enc.append(EncoderBlock(d, s))
+            enc += [Snake1d(d), WNConv1d(d, cfg.latent_dim, 3, padding=1)]
+            self.encoder = tnn.Module()
+            self.encoder.block = tnn.Sequential(*enc)
+            self.quantizer = Quantizer()
+            d = cfg.decoder_dim
+            dec = [WNConv1d(cfg.latent_dim, d, 7, padding=3)]
+            for s in reversed(cfg.encoder_rates):
+                dec.append(DecoderBlock(d, d // 2, s))
+                d //= 2
+            dec += [Snake1d(d), WNConv1d(d, 1, 7, padding=3), tnn.Tanh()]
+            self.decoder = tnn.Module()
+            self.decoder.model = tnn.Sequential(*dec)
+
+    torch.manual_seed(0)
+    return DAC()
+
+
+def test_dac_converter_forward_parity():
+    """Converted DAC weights reproduce torch's encoder, from_codes, and
+    decoder outputs in NDAC (validates every layout transform incl. the
+    ConvTranspose flip and weight-norm folding)."""
+    import numpy as np
+    import torch
+
+    from flowdec_tpu.codec.ndac import NDAC, NDACConfig
+    from flowdec_tpu.convert import convert_dac_state_dict, expected_dac_torch_keys
+
+    cfg = NDACConfig(
+        sampling_rate=16000, encoder_dim=4, encoder_rates=(2, 4),
+        decoder_dim=16, latent_dim=12, n_codebooks=3,
+        codebook_size=32, codebook_dim=4,
+    )
+    tm = _torch_dac(cfg)
+    sd = tm.state_dict()
+    assert set(sd.keys()) == set(expected_dac_torch_keys(cfg))
+    params = convert_dac_state_dict(sd, cfg)
+
+    model = NDAC(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64)).astype(np.float32) * 0.3
+
+    with torch.no_grad():
+        z_t = tm.encoder.block(torch.from_numpy(x[:, None, :])).numpy()
+    z_j = model.apply(
+        params, jnp.asarray(x), method=lambda m, a: m.encoder(m.preprocess(a))
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_j), np.transpose(z_t, (0, 2, 1)), atol=1e-4
+    )
+
+    codes = rng.integers(0, cfg.codebook_size, (2, cfg.n_codebooks, 8))
+    with torch.no_grad():
+        zq_t = tm.quantizer.from_codes(torch.from_numpy(codes)).numpy()
+    zq_j = model.apply(params, jnp.asarray(codes), method=NDAC.from_codes)
+    np.testing.assert_allclose(
+        np.asarray(zq_j), np.transpose(zq_t, (0, 2, 1)), atol=1e-4
+    )
+
+    zq = rng.standard_normal((2, 8, cfg.latent_dim)).astype(np.float32)
+    with torch.no_grad():
+        wav_t = tm.decoder.model(torch.from_numpy(np.transpose(zq, (0, 2, 1)))).numpy()
+    wav_j = model.apply(params, jnp.asarray(zq), method=NDAC.decode)
+    np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0, :], atol=1e-4)
