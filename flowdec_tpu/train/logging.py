@@ -95,12 +95,30 @@ class TensorBoardLogger(JsonlLogger):
 class WandbLogger(JsonlLogger):
     """JSONL + Weights & Biases (requires the wandb package + login)."""
 
-    def __init__(self, save_dir: str, run_id: str, project: str = "flowdec_tpu"):
+    def __init__(
+        self,
+        save_dir: str,
+        run_id: str,
+        project: str = "flowdec_tpu",
+        log_code: bool = True,
+    ):
         super().__init__(save_dir, run_id)
         import wandb  # gated
 
         self._wandb = wandb
         self._run = wandb.init(project=project, id=run_id, resume="allow", dir=self.run_dir)
+        if log_code:
+            # snapshot the framework source with the run (capability parity
+            # with the reference's wandb code logging, train.py:219-225)
+            import flowdec_tpu
+
+            root = os.path.dirname(os.path.abspath(flowdec_tpu.__file__))
+            try:
+                self._run.log_code(
+                    root=root, include_fn=lambda p: p.endswith((".py", ".yaml"))
+                )
+            except Exception:  # offline mode / old wandb: non-fatal
+                pass
 
     def log_config(self, cfg: Dict[str, Any]) -> None:
         super().log_config(cfg)
