@@ -55,6 +55,77 @@ def build_model(compute_dtype=None):
     )
 
 
+def build_codec(nq: int = 10):
+    """NDAC-75-geometry codec (BASELINE.json configs[0]; demo.ipynb cell 3)."""
+    from flowdec_tpu.codec.ndac import NDAC, NDACConfig
+
+    cfg = NDACConfig()  # 48 kHz, hop 640, 16 codebooks
+    return NDAC(cfg), cfg, nq
+
+
+def measure_codec_rtf(*, seconds=10.0, batch=1, nq=10, iters=6, rounds=3) -> float:
+    """NDAC encode→RVQ→decode real-time factor (full autoencode pass)."""
+    import jax.numpy as jnp
+
+    codec, cfg, nq = build_codec(nq)
+    sr = cfg.sampling_rate
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, int(seconds * sr))) * 0.1,
+                    dtype=jnp.float32)
+    params = codec.init(jax.random.PRNGKey(0), x, nq)
+
+    @jax.jit
+    def run(params, x):
+        return codec.apply(params, x, nq)["audio"]
+
+    run(params, x).block_until_ready()
+    best = 0.0
+    for r in range(rounds):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = run(params, x)
+        out.block_until_ready()
+        best = max(best, seconds * batch * iters / (time.perf_counter() - start))
+    return best
+
+
+def measure_pipeline_rtf(model, params, *, seconds=5.0, batch=1, n_steps=3,
+                         solver="midpoint", nq=10, iters=6, rounds=3) -> float:
+    """FULL FlowDec pipeline per BASELINE.json: codes → NDAC decode → y →
+    6-NFE ODE postfilter → x̂, one jitted program."""
+    import jax.numpy as jnp
+
+    codec, cfg, nq = build_codec(nq)
+    sr = model.sampling_rate
+    frames = int(seconds * sr) // cfg.hop_length
+    length = frames * cfg.hop_length
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (batch, nq, frames)), jnp.int32
+    )
+    x0 = jnp.zeros((batch, length), jnp.float32)
+    cparams = codec.init(jax.random.PRNGKey(0), x0, nq)
+
+    @jax.jit
+    def pipeline(cparams, params, codes, key):
+        from flowdec_tpu.codec.ndac import NDAC
+
+        z_q = codec.apply(cparams, codes, method=NDAC.from_codes)
+        y = codec.apply(cparams, z_q, method=NDAC.decode)[..., :length]
+        return model.enhance(params, key, y, n_steps=n_steps, solver=solver)
+
+    key = jax.random.PRNGKey(1)
+    pipeline(cparams, params, codes, key).block_until_ready()
+    best = 0.0
+    for r in range(rounds):
+        start = time.perf_counter()
+        for i in range(iters):
+            out = pipeline(cparams, params, codes, jax.random.fold_in(key, r * iters + i))
+        out.block_until_ready()
+        best = max(best, seconds * batch * iters / (time.perf_counter() - start))
+    return best
+
+
 def measure_rtf(model, params, *, seconds=10.0, batch=1, n_steps=3,
                 solver="midpoint", iters=6, rounds=3) -> float:
     """Steady-state RTF: best of `rounds` timing rounds (the remote-device
@@ -111,6 +182,14 @@ def main() -> None:
         print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_bf16_batch8",
                           "value": round(rtf_b8, 2), "unit": "x_realtime",
                           "vs_baseline": round(rtf_b8 / 50.0, 3)}))
+        rtf_codec = measure_codec_rtf(seconds=10.0)
+        print(json.dumps({"metric": "ndac_autoencode_rtf_10s",
+                          "value": round(rtf_codec, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_codec / 50.0, 3)}))
+        rtf_pipe = measure_pipeline_rtf(model_bf16, params, seconds=5.0)
+        print(json.dumps({"metric": "flowdec75m_full_pipeline_rtf_nfe6",
+                          "value": round(rtf_pipe, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_pipe / 50.0, 3)}))
 
 
 if __name__ == "__main__":
