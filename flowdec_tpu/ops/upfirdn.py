@@ -223,6 +223,12 @@ def _fir_axis_matmul(
     w = _resample_matrix(x.shape[axis], up, down, pad[0], pad[1],
                          np.asarray(k1d, np.float32).tobytes())
     wj = jnp.asarray(w, x.dtype)
+    # in-place contraction (no moveaxis: explicit transposes forced layout
+    # copies and measured slower; einsum lets XLA pick the contraction layout)
+    if axis == x.ndim - 3:
+        return jnp.einsum("oh,...hwc->...owc", wj, x)
+    if axis == x.ndim - 2:
+        return jnp.einsum("ot,...htc->...hoc", wj, x)
     moved = jnp.moveaxis(x, axis, -1)
     out = jnp.tensordot(moved, wj, axes=[[-1], [1]])
     return jnp.moveaxis(out, -1, axis)

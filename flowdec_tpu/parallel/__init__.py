@@ -10,6 +10,7 @@ from flowdec_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from flowdec_tpu.parallel.sequence import make_sequence_parallel_enhance
 
 __all__ = [
     "DATA_AXIS",
@@ -18,6 +19,7 @@ __all__ = [
     "initialize_distributed",
     "is_primary_host",
     "make_mesh",
+    "make_sequence_parallel_enhance",
     "replicated",
     "shard_batch",
 ]
