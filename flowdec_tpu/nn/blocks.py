@@ -64,7 +64,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h_dim, w_dim, c = x.shape
-        h = group_norm(c)(x).astype(x.dtype)
+        h = group_norm(c, dtype=x.dtype)(x).astype(x.dtype)
         q = NIN(c, name="NIN_0")(h).reshape(b, h_dim * w_dim, c)
         k = NIN(c, name="NIN_1")(h).reshape(b, h_dim * w_dim, c)
         v = NIN(c, name="NIN_2")(h).reshape(b, h_dim * w_dim, c)
@@ -220,11 +220,11 @@ class ResnetBlockDDPM(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x).astype(x.dtype))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0", dtype=x.dtype)(x).astype(x.dtype))
         h = Conv3x3(out_ch, name="Conv_0")(h)
         if temb is not None:
             h = h + _TembDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h).astype(h.dtype))
+        h = self.act(group_norm(out_ch, name="GroupNorm_1", dtype=h.dtype)(h).astype(h.dtype))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)

@@ -50,9 +50,15 @@ def get_act(name: str) -> Callable[[jax.Array], jax.Array]:
         raise NotImplementedError(f"activation function {name!r} does not exist!") from e
 
 
-def group_norm(ch: int, name: str | None = None) -> nn.GroupNorm:
-    """GroupNorm(min(ch//4, 32) groups, eps=1e-6) as hardcoded throughout NCSN++."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
+def group_norm(ch: int, name: str | None = None, dtype=None) -> nn.GroupNorm:
+    """GroupNorm(min(ch//4, 32) groups, eps=1e-6) as hardcoded throughout NCSN++.
+
+    Pass dtype=x.dtype in mixed precision: flax always computes the statistics
+    reduction in f32 (force_float32_reductions), but without an explicit dtype
+    it also PROMOTES the normalized output to f32 — which makes XLA emit f32
+    producer convs and f32 layout copies of the largest activations (measured:
+    the level-0 (768,640,256) tensors flowed f32 through the up path)."""
+    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name, dtype=dtype)
 
 
 class Conv3x3(nn.Module):
@@ -178,5 +184,4 @@ def group_norm_act(ch: int, act, fused: bool, name: str | None = None):
     188/202 convs f32 before this cast)."""
     if fused and act in (_ACTS["swish"],):
         return FusedGroupNormSiLU(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
-    gn = group_norm(ch, name=name)
-    return lambda x: act(gn(x).astype(x.dtype))
+    return lambda x: act(group_norm(ch, name=name, dtype=x.dtype)(x).astype(x.dtype))

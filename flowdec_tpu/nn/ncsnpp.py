@@ -348,7 +348,7 @@ class NCSNpp(nn.Module):
         if cfg.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(group_norm(h.shape[-1], name="norm_out")(h).astype(h.dtype))
+            h = act(group_norm(h.shape[-1], name="norm_out", dtype=h.dtype)(h).astype(h.dtype))
             h = Conv3x3(
                 cfg.num_channels, init_scale=cfg.init_scale, name="conv_out"
             )(h)
