@@ -50,15 +50,49 @@ def get_act(name: str) -> Callable[[jax.Array], jax.Array]:
         raise NotImplementedError(f"activation function {name!r} does not exist!") from e
 
 
-def group_norm(ch: int, name: str | None = None, dtype=None) -> nn.GroupNorm:
-    """GroupNorm(min(ch//4, 32) groups, eps=1e-6) as hardcoded throughout NCSN++.
+class GroupNorm(nn.Module):
+    """GroupNorm with f32 statistics but normalize/affine in the INPUT dtype.
 
-    Pass dtype=x.dtype in mixed precision: flax always computes the statistics
-    reduction in f32 (force_float32_reductions), but without an explicit dtype
-    it also PROMOTES the normalized output to f32 — which makes XLA emit f32
-    producer convs and f32 layout copies of the largest activations (measured:
-    the level-0 (768,640,256) tensors flowed f32 through the up path)."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name, dtype=dtype)
+    flax's nn.GroupNorm promotes the whole normalize to f32 (its subtract
+    happens in f32 even with dtype=bf16), which makes XLA emit f32 outputs
+    for the producer convolutions and f32 layout copies of the largest
+    activations (measured on the (768,640,256) level-0 tensors). Here the
+    f32 mean/rsqrt are cast DOWN before the elementwise apply, so every
+    tensor-sized value stays in x.dtype; stats still accumulate in f32
+    (fast-variance form E[x²]−E[x]², like flax). Param names (scale, bias)
+    match nn.GroupNorm — checkpoints are interchangeable."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        xg = x.reshape(x.shape[:-1] + (g, c // g))
+        red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(
+            jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True
+        )
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+
+        y = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        y = y.reshape(x.shape)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def group_norm(ch: int, name: str | None = None, dtype=None) -> GroupNorm:
+    """GroupNorm(min(ch//4, 32) groups, eps=1e-6) as hardcoded throughout
+    NCSN++ (reference hardcodes nn.GroupNorm, SURVEY §2.3 normalization.py
+    note). `dtype` is accepted for signature stability; the apply dtype
+    always follows the input (see GroupNorm)."""
+    del dtype
+    return GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
 
 
 class Conv3x3(nn.Module):
