@@ -175,3 +175,22 @@ def test_evaluate_cli(workspace, tmp_path):
     assert {"sisdr", "sisir", "sisar", "snrseg", "name"} <= set(df.columns)
     assert len(df) == 2
     assert np.isfinite(df["sisdr"]).all()
+
+
+def test_train_cli_finetune(workspace):
+    """--finetune loads weights from an existing checkpoint but starts a new
+    run at step 0 (reference train.py:54-57)."""
+    import train as train_cli
+
+    train_cli.main([
+        "--config-name", str(workspace / "configs" / "tiny.yaml"),
+        "--run-id", "cli_ft",
+        "--resume-from-checkpoint", str(workspace / "ckpts" / "cli_test"),
+        "--finetune",
+        "trainer_options.max_steps=2",
+    ])
+    from flowdec_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(workspace / "ckpts" / "cli_ft"))
+    assert mgr.latest_step() == 2  # fresh step count, not 6
+    mgr.close()
