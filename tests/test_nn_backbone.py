@@ -169,3 +169,31 @@ def test_remat_grad_equivalence():
     g2 = jax.grad(lambda p: jnp.mean(jnp.square(m_remat.apply(p, x, y, t))))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_custom_groupnorm_matches_flax():
+    """layers.GroupNorm (f32 stats, input-dtype apply) == nn.GroupNorm in f32
+    and within bf16 rounding in bf16; param structure interchangeable."""
+    import flax.linen as nn
+
+    from flowdec_tpu.nn.layers import GroupNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 32)).astype(np.float32) * 3 + 1)
+    mine = GroupNorm(num_groups=8)
+    ref = nn.GroupNorm(num_groups=8, epsilon=1e-6)
+    params = {
+        "params": {
+            "scale": jnp.asarray(rng.random(32, dtype=np.float32) + 0.5),
+            "bias": jnp.asarray(rng.random(32, dtype=np.float32)),
+        }
+    }
+    a = mine.apply(params, x)
+    b = ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ab = mine.apply(params, x.astype(jnp.bfloat16))
+    assert ab.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ab, np.float32), np.asarray(b), atol=0.1
+    )
