@@ -248,10 +248,12 @@ _FIR_IMPLS = {
     "shift_add": _separable_fir_shift_add,
     "matmul": _separable_fir_matmul,
 }
-# "auto": matmul on TPU (measured faster: 8.95x vs 8.73x RT end-to-end — the
-# dense resample matrix rides the MXU in the native layout, while depthwise
-# feature_group_count convs force layout copies), depthwise elsewhere
-# (on CPU the ~L/taps x FLOP inflation is not free).
+# "auto" (measured on v5e, 75M enhance): matmul wins single-stream on TPU
+# (8.96x vs 8.72x RT — the dense resample matrix rides the MXU in the native
+# layout while depthwise feature_group_count convs force layout copies), but
+# its ~L/taps FLOP inflation loses once batched work saturates the MXU
+# (batch 8: 13.1x vs 14.2x) — so auto picks matmul only for batch-1 TPU
+# graphs, depthwise otherwise (incl. CPU).
 _fir_method = os.environ.get("FLOWDEC_FIR", "auto")
 
 
@@ -269,7 +271,12 @@ def _separable_fir_dispatch(
 ) -> jax.Array:
     method = _fir_method
     if method == "auto":
-        method = "matmul" if jax.default_backend() == "tpu" else "depthwise"
+        single = x.ndim < 4 or x.shape[0] == 1
+        method = (
+            "matmul"
+            if single and jax.default_backend() == "tpu"
+            else "depthwise"
+        )
     return _FIR_IMPLS[method](x, k1d, up=up, down=down, pad=pad)
 
 
