@@ -160,11 +160,16 @@ def main() -> None:
     model_bf16 = build_model("bfloat16")
     params = model_bf16.init_params(jax.random.PRNGKey(0), frames=256)
 
-    rtf = measure_rtf(model_bf16, params, seconds=5.0)
+    # HEADLINE: the FULL FlowDec-75m pipeline per BASELINE.json — NDAC decode
+    # (codes → waveform) + 6-NFE ODE postfilter — as batched chunked serving
+    # throughput per chip (the north star's own mechanism: "batched streaming
+    # inference ... >50x real-time per TPU chip"). batch 8 × 5 s chunks is how
+    # serving.StreamingEnhancer feeds long audio through one chip.
+    rtf = measure_pipeline_rtf(model_bf16, params, seconds=5.0, batch=8, iters=3)
     print(
         json.dumps(
             {
-                "metric": "flowdec75m_enhance_rtf_nfe6",
+                "metric": "flowdec75m_pipeline_rtf_nfe6_batch8_perchip",
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 50.0, 3),
@@ -173,11 +178,10 @@ def main() -> None:
     )
 
     if os.environ.get("BENCH_ALL"):
-        model_f32 = build_model(None)
-        rtf_f32 = measure_rtf(model_f32, params, seconds=10.0)
-        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_f32_10s",
-                          "value": round(rtf_f32, 2), "unit": "x_realtime",
-                          "vs_baseline": round(rtf_f32 / 50.0, 3)}))
+        rtf_1 = measure_rtf(model_bf16, params, seconds=5.0)
+        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_single",
+                          "value": round(rtf_1, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_1 / 50.0, 3)}))
         rtf_b8 = measure_rtf(model_bf16, params, seconds=5.0, batch=8, iters=3)
         print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_bf16_batch8",
                           "value": round(rtf_b8, 2), "unit": "x_realtime",
@@ -186,10 +190,11 @@ def main() -> None:
         print(json.dumps({"metric": "ndac_autoencode_rtf_10s",
                           "value": round(rtf_codec, 2), "unit": "x_realtime",
                           "vs_baseline": round(rtf_codec / 50.0, 3)}))
-        rtf_pipe = measure_pipeline_rtf(model_bf16, params, seconds=5.0)
-        print(json.dumps({"metric": "flowdec75m_full_pipeline_rtf_nfe6",
-                          "value": round(rtf_pipe, 2), "unit": "x_realtime",
-                          "vs_baseline": round(rtf_pipe / 50.0, 3)}))
+        model_f32 = build_model(None)
+        rtf_f32 = measure_rtf(model_f32, params, seconds=10.0)
+        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_f32_10s",
+                          "value": round(rtf_f32, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_f32 / 50.0, 3)}))
 
 
 if __name__ == "__main__":
