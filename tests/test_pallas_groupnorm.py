@@ -100,3 +100,22 @@ def test_backbone_fused_gn_matches_unfused():
         )
     finally:
         gnp._fused_fwd_impl = saved
+
+
+# ---------------------------------------------------------------------------
+# Pallas conv3x3 (interpret mode on CPU; compiled path measured on TPU)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 10, 8, 16), (1, 16, 12, 16, 8)])
+def test_conv3x3_pallas_matches_lax(shape):
+    from flowdec_tpu.ops.conv3x3_pallas import conv3x3_pallas, conv3x3_reference
+
+    b_, h, w_, ci, co = shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b_, h, w_, ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    got = conv3x3_pallas(x, w, bias, interpret=True)
+    ref = conv3x3_reference(x, w, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
