@@ -1,17 +1,23 @@
-"""Pallas 3×3 SAME conv (NHWC, stride 1) as nine shifted matmuls.
+"""Pallas 3×3 SAME conv (NHWC, stride 1) as nine shifted row-matmuls.
 
 Motivation (PERF.md, r1 profile): XLA:TPU's conv lowering materializes a
 space-blocked, halo-padded COPY of every conv input at the U-Net's largest
 levels (~19% of device time in pure `copy` ops). This kernel streams the
 input through VMEM in H-tiles with a 1-row halo and feeds the MXU directly:
-for each tap (dy, dx), a ((tile_h·W) × C_in) @ (C_in × C_out) matmul on a
-statically shifted window — one HBM read of x, one write of y, no blocked
-relayout pass.
+for each output row and tap row dy, one (Wp × C_in) @ (C_in × C_out) matmul
+per dx on the full aligned row, with the dx shift applied to the VALUE —
+one HBM read of x, one write of y, no blocked relayout pass.
 
-Overlapping H-windows (tile_h+2 at stride tile_h) can't be expressed with
-Blocked BlockSpecs, so x stays in HBM (memory_space=ANY) and each grid step
-DMAs its halo'd tile into VMEM scratch explicitly (the guide's halo
-pattern).
+Runtime constraints discovered by bisection on this TPU runtime (each
+crashes the remote compile helper):
+  * partial indexing (even scalar, even offset-0 slices) of rank≥3 VMEM
+    refs — so ALL in-kernel refs here are 2-D: x is flattened to
+    (B, Hp·Wp8, C) host-side (Wp8 a multiple of 8 keeps the reshape
+    layout-preserving), weights to (9·C_in, C_out), output to (B·H·W, C_out);
+  * unaligned sublane slices as MXU operands — so matmuls run on full rows
+    and the dx shift slices the f32 result value (a VPU move);
+  * overlapping Blocked windows don't exist (no Unblocked indexing mode) —
+    so x lives in ANY/HBM and each grid step DMAs its halo'd row range.
 
 Equivalent reference op: the 3×3 convs inside every NCSN++ resblock
 (/root/reference/flowdec/backbones/ncsnpp_utils/layerspp.py:222-284 uses
@@ -42,74 +48,77 @@ def conv3x3_reference(x: jax.Array, w: jax.Array, b=None) -> jax.Array:
     return out
 
 
-def _kernel(x_hbm, w_ref, o_ref, x_vmem, acc_ref, sem, *, tile_h: int, width: int):
-    """Grid (B, H/tile_h). x_hbm: full padded array in ANY/HBM; per step DMA
-    rows [j·tile_h, j·tile_h + tile_h+2) into VMEM, then 9 shifted matmuls."""
+def _kernel(x_hbm, w_ref, o_ref, x_vmem, acc_ref, sem,
+            *, tile_h: int, width: int, wp8: int, cin: int):
+    """Grid (B, H/tile_h). x_hbm (B, Hp·Wp8, Cin) in ANY; DMA rows
+    [j·tile_h, j·tile_h + tile_h+2)·Wp8 into 2-D VMEM scratch."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    cin = x_vmem.shape[-1]
-    cout = o_ref.shape[-1]
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * tile_h, tile_h + 2), :, :],
+        x_hbm.at[i, pl.ds(j * tile_h * wp8, (tile_h + 2) * wp8), :],
         x_vmem,
         sem,
     )
     copy.start()
     copy.wait()
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    for dy in range(3):
-        for dx in range(3):
-            xs = x_vmem[dy : dy + tile_h, dx : dx + width, :]
-            xs2 = xs.reshape(tile_h * width, cin)
-            acc_ref[...] += jax.lax.dot_general(
-                xs2,
-                w_ref[dy, dx, :, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    o_ref[0, :, :, :] = acc_ref[...].reshape(tile_h, width, cout).astype(o_ref.dtype)
+    for r in range(tile_h):
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        for dy in range(3):
+            row = x_vmem[(r + dy) * wp8 : (r + dy) * wp8 + wp8, :]  # (Wp8, Cin)
+            for dx in range(3):
+                tap = dy * 3 + dx
+                p = jax.lax.dot_general(
+                    row,
+                    w_ref[tap * cin : (tap + 1) * cin, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dx shift on the VALUE (VPU move; ref slices must stay aligned)
+                acc_ref[...] += jax.lax.slice(p, (dx, 0), (dx + width, p.shape[1]))
+        o_ref[r * width : (r + 1) * width, :] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _pick_tile_h(h: int, width: int, cin: int, cout: int, bytes_per: int) -> int:
-    """Largest divisor tile whose x tile + y block + f32 accumulator fit a
-    ~5 MB budget (double buffering on the Blocked out/in specs doubles their
-    footprint; total VMEM ≈ 16 MB)."""
+def _pick_tile_h(h: int, width: int, wp8: int, cin: int, cout: int, bytes_per: int) -> int:
+    """Largest divisor tile whose x tile + double-buffered y block + f32
+    accumulator fit ~5 MB (total VMEM ≈ 16 MB)."""
     budget = 5 * 1024 * 1024
     best = 1
     for t in range(1, h + 1):
         if h % t:
             continue
         need = (
-            (t + 2) * (width + 2) * cin * bytes_per
+            (t + 2) * wp8 * cin * bytes_per
             + 2 * t * width * cout * bytes_per
-            + t * width * cout * 4
+            + width * cout * 4
         )
         if need <= budget:
             best = t
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x_pad, w, *, interpret=False):
-    b, hp, wp, cin = x_pad.shape  # hp = H+2, wp = W+2 (SAME halo pre-padded)
-    h, width = hp - 2, wp - 2
-    cout = w.shape[-1]
-    tile_h = _pick_tile_h(h, width, cin, cout, x_pad.dtype.itemsize)
+@functools.partial(jax.jit, static_argnames=("h", "width", "interpret"))
+def _run(x_flat, w_flat, *, h, width, interpret=False):
+    b, hp_wp8, cin = x_flat.shape
+    wp8 = hp_wp8 // (h + 2)
+    cout = w_flat.shape[-1]
+    tile_h = _pick_tile_h(h, width, wp8, cin, cout, x_flat.dtype.itemsize)
     grid = (b, h // tile_h)
-    return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, width=width),
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, width=width, wp8=wp8, cin=cin),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, width, cout), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x_pad.dtype),
+        out_specs=pl.BlockSpec(
+            (tile_h * width, cout), lambda i, j, _hc=h // tile_h: (i * _hc + j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h * width, cout), x_flat.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wp, cin), x_pad.dtype),
-            pltpu.VMEM((tile_h * width, cout), jnp.float32),
+            pltpu.VMEM(((tile_h + 2) * wp8, cin), x_flat.dtype),
+            pltpu.VMEM((width, cout), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -117,15 +126,23 @@ def _run(x_pad, w, *, interpret=False):
             vmem_limit_bytes=14 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_pad, w)
+    )(x_flat, w_flat)
+    return out.reshape(b, h, width, cout)
 
 
 def conv3x3_pallas(x: jax.Array, w: jax.Array, b=None, *, interpret: bool = False):
     """NHWC 3×3 SAME stride-1 conv. x (B,H,W,Cin), w (3,3,Cin,Cout)."""
     w = jnp.asarray(w)
     assert w.shape[0] == 3 and w.shape[1] == 3, "3x3 kernels only"
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = _run(x_pad, w.astype(x.dtype), interpret=interpret)
+    bsz, h, width, cin = x.shape
+    # pad W so the padded row length is a multiple of 8: the host-side
+    # (Hp, Wp8, C) → (Hp·Wp8, C) flatten is then layout-preserving (sublane
+    # tiles don't straddle rows) and in-kernel row offsets stay aligned
+    wp8 = ((width + 2 + 7) // 8) * 8
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, wp8 - width - 1), (0, 0)))
+    x_flat = x_pad.reshape(bsz, (h + 2) * wp8, cin)
+    w_flat = w.astype(x.dtype).reshape(9 * cin, w.shape[-1])
+    out = _run(x_flat, w_flat, h=h, width=width, interpret=interpret)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
