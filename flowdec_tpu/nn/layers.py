@@ -95,6 +95,31 @@ def group_norm(ch: int, name: str | None = None, dtype=None) -> GroupNorm:
     return GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
 
 
+class _Conv3x3Kernel(nn.Module):
+    """Stride-1 3×3 conv with nn.Conv-compatible params (kernel, bias) that
+    dispatches through ops.conv3x3_pallas.conv3x3 — the Pallas halo-DMA
+    kernel on TPU for MXU-sized channel counts (measured 26% faster than
+    XLA's conv at the U-Net's level-0 shape), XLA everywhere else."""
+
+    features: int
+    init_scale: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from flowdec_tpu.ops.conv3x3_pallas import conv3x3
+
+        k = self.param(
+            "kernel", default_init(self.init_scale), (3, 3, x.shape[-1], self.features)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return conv3x3(x, k.astype(x.dtype), b)
+
+
 class Conv3x3(nn.Module):
     """3×3 same-padding conv with DDPM init and zero-init bias
     (reference layers.py:128-136)."""
@@ -106,6 +131,11 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.stride == 1:
+            # param path stays Conv_0/{kernel,bias} — checkpoint-identical
+            return _Conv3x3Kernel(
+                self.features, self.init_scale, self.use_bias, name="Conv_0"
+            )(x)
         return nn.Conv(
             self.features,
             (3, 3),

@@ -146,3 +146,65 @@ def conv3x3_pallas(x: jax.Array, w: jax.Array, b=None, *, interpret: bool = Fals
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper + global implementation switch
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_conv_impl = _os.environ.get("FLOWDEC_CONV", "auto")
+
+
+def set_conv_impl(name: str) -> None:
+    """Global 3×3-conv implementation: "auto" (pallas on TPU for eligible
+    shapes), "pallas", or "xla"."""
+    assert name in ("auto", "pallas", "xla"), name
+    global _conv_impl
+    _conv_impl = name
+
+
+def _eligible(x, w) -> bool:
+    return (
+        x.ndim == 4
+        and w.shape[:2] == (3, 3)
+        and x.shape[-1] % 128 == 0
+        and w.shape[-1] % 128 == 0
+        and x.shape[1] >= 8
+        and x.shape[2] >= 8
+    )
+
+
+@jax.custom_vjp
+def _conv3x3_pallas_diff(x, w, b):
+    return conv3x3_pallas(x, w, b)
+
+
+def _conv_fwd(x, w, b):
+    return conv3x3_pallas(x, w, b), (x, w, b)
+
+
+def _conv_bwd(res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(conv3x3_reference, x, w, b)
+    return vjp(g)
+
+
+_conv3x3_pallas_diff.defvjp(_conv_fwd, _conv_bwd)
+
+
+def conv3x3(x: jax.Array, w: jax.Array, b=None) -> jax.Array:
+    """3×3 SAME stride-1 conv dispatching to the Pallas kernel when enabled
+    and eligible (differentiable: backward falls back to XLA's conv vjp)."""
+    impl = _conv_impl
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and _eligible(x, w)
+            else "xla"
+        )
+    if impl == "pallas" and _eligible(x, w):
+        bias = b if b is not None else jnp.zeros((w.shape[-1],), x.dtype)
+        return _conv3x3_pallas_diff(x, w, bias)
+    return conv3x3_reference(x, w, b)
