@@ -166,6 +166,7 @@ def set_conv_impl(name: str) -> None:
 
 
 def _eligible(x, w) -> bool:
+    """Shape eligibility for the Pallas kernel (MXU-sized channels)."""
     return (
         x.ndim == 4
         and w.shape[:2] == (3, 3)
@@ -199,11 +200,14 @@ def conv3x3(x: jax.Array, w: jax.Array, b=None) -> jax.Array:
     and eligible (differentiable: backward falls back to XLA's conv vjp)."""
     impl = _conv_impl
     if impl == "auto":
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu" and _eligible(x, w)
-            else "xla"
-        )
+        # Measured (r1): the kernel wins in ISOLATION at the level-0 shape
+        # (7.36 ms vs 9.99 ms) but LOSES end-to-end in the full U-Net
+        # (4.7x vs 9.0x RT): each pallas_call is a fusion barrier, so the
+        # bias/act/GN neighbors XLA used to fuse into the convs become
+        # extra HBM passes, and the host-side pad+flatten adds a copy per
+        # conv. auto therefore stays on XLA; set_conv_impl("pallas") or
+        # FLOWDEC_CONV=pallas opts in for experiments.
+        impl = "xla"
     if impl == "pallas" and _eligible(x, w):
         bias = b if b is not None else jnp.zeros((w.shape[-1],), x.dtype)
         return _conv3x3_pallas_diff(x, w, bias)
