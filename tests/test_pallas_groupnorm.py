@@ -119,3 +119,22 @@ def test_conv3x3_pallas_matches_lax(shape):
     got = conv3x3_pallas(x, w, bias, interpret=True)
     ref = conv3x3_reference(x, w, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 10, 32, 16, 8), (1, 16, 12, 16, 32, 4)])
+def test_gn_silu_conv3x3_fused_matches_reference(shape):
+    from flowdec_tpu.ops.gn_act_conv_pallas import (
+        gn_silu_conv3x3,
+        gn_silu_conv3x3_reference,
+    )
+
+    b_, h, w_, ci, co, g = shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b_, h, w_, ci)).astype(np.float32))
+    s = jnp.asarray(rng.random(ci).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.standard_normal(ci).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.1)
+    got = gn_silu_conv3x3(x, s, bi, w, bc, g, 1e-6, True)
+    ref = gn_silu_conv3x3_reference(x, s, bi, w, bc, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
