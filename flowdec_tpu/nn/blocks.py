@@ -147,6 +147,45 @@ class _TembDense(nn.Module):
         )(temb)
 
 
+class _GNParamHolder(nn.Module):
+    """Declares GroupNorm-compatible (scale, bias) without computing — used
+    by the fused GN+SiLU+conv path so the parameter tree stays identical to
+    the unfused nn.GroupNorm module of the same name."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        return scale, bias
+
+
+class _ConvParamsInner(nn.Module):
+    features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.param(
+            "kernel", default_init(self.init_scale), (3, 3, in_ch, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _ConvParamHolder(nn.Module):
+    """Declares Conv3x3-compatible params at path <name>/Conv_0/{kernel,bias}
+    (matching Conv3x3's nested module) without computing."""
+
+    features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return _ConvParamsInner(self.features, self.init_scale, name="Conv_0")(in_ch)
+
+
 class ResnetBlockBigGAN(nn.Module):
     """BigGAN-style residual block with optional fused FIR up/down resampling
     (reference layerspp.py:222-284)."""
@@ -161,6 +200,46 @@ class ResnetBlockBigGAN(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     fused_gn: bool = False  # Pallas-fused GroupNorm+SiLU (perf knob)
+    fused_gn_conv: bool = False  # Pallas-fused GroupNorm+SiLU+conv3x3 (perf knob)
+
+    def _gn_conv(
+        self,
+        h: jax.Array,
+        ch: int,
+        *,
+        gn_name: str,
+        conv_name: str,
+        init_scale: float = 1.0,
+        fuse_ok: bool = True,
+    ) -> jax.Array:
+        """act(GN(h)) → conv3x3, fused into one Pallas kernel when enabled and
+        eligible; parameter paths identical to the unfused modules."""
+        from flowdec_tpu.nn.layers import _ACTS
+
+        in_ch = h.shape[-1]
+        use_fused = (
+            self.fused_gn_conv
+            and fuse_ok
+            and self.act is _ACTS["swish"]
+            and jax.default_backend() == "tpu"
+            and in_ch % 128 == 0
+            and ch % 128 == 0
+            and h.shape[1] >= 8
+            and h.shape[2] >= 8
+        )
+        if not use_fused:
+            hh = group_norm_act(in_ch, self.act, self.fused_gn, name=gn_name)(h)
+            return hh, Conv3x3(ch, init_scale=init_scale, name=conv_name)(hh)
+
+        from flowdec_tpu.ops.gn_act_conv_pallas import gn_silu_conv3x3
+
+        scale, bias = _GNParamHolder(in_ch, name=gn_name)()
+        k, cb = _ConvParamHolder(ch, init_scale, name=conv_name)(in_ch)
+        out = gn_silu_conv3x3(
+            h, scale, bias, k.astype(h.dtype), cb,
+            min(in_ch // 4, 32), 1e-6,
+        )
+        return None, out
 
     @nn.compact
     def __call__(
@@ -169,30 +248,38 @@ class ResnetBlockBigGAN(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
 
-        h = group_norm_act(in_ch, self.act, self.fused_gn, name="GroupNorm_0")(x)
-
-        if self.up:
-            resize = (
-                (lambda a: upsample_2d(a, self.fir_kernel, factor=2))
-                if self.fir
-                else naive_upsample_2d
-            )
+        if self.up or self.down:
+            # resampling sits between act(GN) and the conv — not fusable
+            h = group_norm_act(in_ch, self.act, self.fused_gn, name="GroupNorm_0")(x)
+            if self.up:
+                resize = (
+                    (lambda a: upsample_2d(a, self.fir_kernel, factor=2))
+                    if self.fir
+                    else naive_upsample_2d
+                )
+            else:
+                resize = (
+                    (lambda a: downsample_2d(a, self.fir_kernel, factor=2))
+                    if self.fir
+                    else naive_downsample_2d
+                )
             h, x = resize(h), resize(x)
-        elif self.down:
-            resize = (
-                (lambda a: downsample_2d(a, self.fir_kernel, factor=2))
-                if self.fir
-                else naive_downsample_2d
-            )
-            h, x = resize(h), resize(x)
+            h = Conv3x3(out_ch, name="Conv_0")(h)
+        else:
+            _, h = self._gn_conv(x, out_ch, gn_name="GroupNorm_0", conv_name="Conv_0")
 
-        h = Conv3x3(out_ch, name="Conv_0")(h)
         if temb is not None:
             h = h + _TembDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = group_norm_act(out_ch, self.act, self.fused_gn, name="GroupNorm_1")(h)
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if self.dropout > 0 and train:
+            # dropout sits between act(GN_1) and Conv_1 — not fusable
+            hh = group_norm_act(out_ch, self.act, self.fused_gn, name="GroupNorm_1")(h)
+            hh = nn.Dropout(self.dropout, deterministic=False)(hh)
+            h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(hh)
+        else:
+            _, h = self._gn_conv(
+                h, out_ch, gn_name="GroupNorm_1", conv_name="Conv_1",
+                init_scale=self.init_scale,
+            )
 
         if in_ch != out_ch or self.up or self.down:
             x = Conv1x1(out_ch, name="Conv_2")(x)

@@ -93,6 +93,8 @@ class NCSNppConfig:
     remat: bool = False
     # Pallas-fused GroupNorm+SiLU (perf knob; only active with swish)
     fused_groupnorm: bool = False
+    # Pallas-fused GroupNorm+SiLU+conv3x3 (perf knob; TPU + swish + C%128==0)
+    fused_gn_conv: bool = False
 
     def __post_init__(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -158,6 +160,7 @@ class NCSNpp(nn.Module):
             common.update(
                 fir=cfg.fir, fir_kernel=cfg.fir_kernel,
                 fused_gn=cfg.fused_groupnorm,
+                fused_gn_conv=cfg.fused_gn_conv,
             )
 
         if t.ndim == 0:
