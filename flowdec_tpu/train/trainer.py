@@ -253,6 +253,12 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed + 100)
         step = int(state.step)
 
+        # Architecture/size visibility at startup (reference train.py:79
+        # prints torchinfo.summary); one log line per top-level module.
+        from flowdec_tpu.utils.summary import model_summary
+
+        log.info(model_summary(state.params, title=type(self.model).__name__))
+
         # Sanity validation (num_sanity_val_steps: 1, global_defaults.yaml:34)
         if self.num_sanity_val_steps > 0 and step == 0:
             log.info("Running sanity validation step...")
