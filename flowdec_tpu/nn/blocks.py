@@ -214,18 +214,28 @@ class ResnetBlockBigGAN(nn.Module):
     ) -> jax.Array:
         """act(GN(h)) → conv3x3, fused into one Pallas kernel when enabled and
         eligible; parameter paths identical to the unfused modules."""
+        import os
+
         from flowdec_tpu.nn.layers import _ACTS
 
+        # test hook: force the fused path in interpret mode on CPU so the
+        # wiring (param holders, eligibility plumbing) is covered by pytest
+        force = os.environ.get("FLOWDEC_FUSED_GN_CONV_FORCE") == "1"
         in_ch = h.shape[-1]
         use_fused = (
             self.fused_gn_conv
             and fuse_ok
             and self.act is _ACTS["swish"]
-            and jax.default_backend() == "tpu"
-            and in_ch % 128 == 0
-            and ch % 128 == 0
             and h.shape[1] >= 8
             and h.shape[2] >= 8
+            and (
+                force
+                or (
+                    jax.default_backend() == "tpu"
+                    and in_ch % 128 == 0
+                    and ch % 128 == 0
+                )
+            )
         )
         if not use_fused:
             hh = group_norm_act(in_ch, self.act, self.fused_gn, name=gn_name)(h)
@@ -237,7 +247,7 @@ class ResnetBlockBigGAN(nn.Module):
         k, cb = _ConvParamHolder(ch, init_scale, name=conv_name)(in_ch)
         out = gn_silu_conv3x3(
             h, scale, bias, k.astype(h.dtype), cb,
-            min(in_ch // 4, 32), 1e-6,
+            min(in_ch // 4, 32), 1e-6, force,
         )
         return None, out
 

@@ -66,6 +66,8 @@ def build_backbone(
     num_channels: int = 4,
     output_layer_kwargs: Optional[Dict[str, Any]] = None,
     remat: bool = True,
+    fused_groupnorm: bool = False,
+    fused_gn_conv: bool = False,
 ) -> NCSNpp:
     """NCSN++ from the reference's YAML schema (ncsnpp_*.yaml keys)."""
     out_kw = dict(kernel_size=3, bias=False)
@@ -98,6 +100,8 @@ def build_backbone(
         output_bias=bool(out_kw["bias"]),
         bottleneck_attn=bottleneck_attn,
         remat=remat,
+        fused_groupnorm=fused_groupnorm,
+        fused_gn_conv=fused_gn_conv,
     )
     return NCSNpp(cfg)
 

@@ -138,3 +138,36 @@ def test_gn_silu_conv3x3_fused_matches_reference(shape):
     got = gn_silu_conv3x3(x, s, bi, w, bc, g, 1e-6, True)
     ref = gn_silu_conv3x3_reference(x, s, bi, w, bc, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_backbone_fused_gn_conv_matches_unfused(monkeypatch):
+    """fused_gn_conv=True must be a pure perf knob: identical params tree,
+    near-identical outputs (forced interpret-mode Pallas on CPU)."""
+    import flax
+
+    from flowdec_tpu.nn import NCSNpp, NCSNppConfig
+
+    monkeypatch.setenv("FLOWDEC_FUSED_GN_CONV_FORCE", "1")
+    base = dict(
+        nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=32,
+        bottleneck_attn=False, attn_resolutions=(),
+    )
+    m_plain = NCSNpp(NCSNppConfig(**base))
+    m_fused = NCSNpp(NCSNppConfig(**base, fused_gn_conv=True))
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 16, 2))
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 16, 2))
+    t = jnp.full((1,), 0.5)
+    params = m_plain.init(jax.random.PRNGKey(2), x, y, t)
+
+    pf = flax.traverse_util.flatten_dict(
+        m_fused.init(jax.random.PRNGKey(2), x, y, t)["params"]
+    )
+    pp = flax.traverse_util.flatten_dict(params["params"])
+    assert set(pf) == set(pp), "fused GN+conv changed the parameter tree"
+
+    o_plain = m_plain.apply(params, x, y, t)
+    o_fused = m_fused.apply(params, x, y, t)
+    np.testing.assert_allclose(
+        np.asarray(o_plain), np.asarray(o_fused), atol=5e-5
+    )
