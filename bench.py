@@ -79,11 +79,15 @@ def measure_codec_rtf(*, seconds=10.0, batch=1, nq=10, iters=6, rounds=3) -> flo
         return codec.apply(params, x, nq)["audio"]
 
     run(params, x).block_until_ready()
+    # distinct inputs per call: this remote runtime serves repeat executions
+    # with identical buffers from a result cache (see scripts/bench_kernels.py)
+    xs = [jax.block_until_ready(x * (1.0 + 1e-4 * (i + 1)))
+          for i in range(iters * rounds)]
     best = 0.0
     for r in range(rounds):
         start = time.perf_counter()
-        for _ in range(iters):
-            out = run(params, x)
+        for i in range(iters):
+            out = run(params, xs[r * iters + i])
         out.block_until_ready()
         best = max(best, seconds * batch * iters / (time.perf_counter() - start))
     return best

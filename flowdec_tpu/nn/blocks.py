@@ -241,11 +241,16 @@ class ResnetBlockBigGAN(nn.Module):
             hh = group_norm_act(in_ch, self.act, self.fused_gn, name=gn_name)(h)
             return hh, Conv3x3(ch, init_scale=init_scale, name=conv_name)(hh)
 
-        from flowdec_tpu.ops.gn_act_conv_pallas import gn_silu_conv3x3
+        from flowdec_tpu.ops import gn_act_conv_pallas as gac
 
+        impl = {
+            "v1": gac.gn_silu_conv3x3,
+            "v2": gac.gn_silu_conv3x3_v2,
+        }.get(os.environ.get("FLOWDEC_GN_CONV_IMPL", "v3"),
+              gac.gn_silu_conv3x3_v3)
         scale, bias = _GNParamHolder(in_ch, name=gn_name)()
         k, cb = _ConvParamHolder(ch, init_scale, name=conv_name)(in_ch)
-        out = gn_silu_conv3x3(
+        out = impl(
             h, scale, bias, k.astype(h.dtype), cb,
             min(in_ch // 4, 32), 1e-6, force,
         )

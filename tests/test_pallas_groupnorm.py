@@ -171,3 +171,65 @@ def test_backbone_fused_gn_conv_matches_unfused(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(o_plain), np.asarray(o_fused), atol=5e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 10, 32, 16, 8), (1, 16, 12, 16, 32, 4),
+                                   (1, 6, 9, 8, 8, 2)])
+def test_gn_silu_conv3x3_v2_matches_reference(shape):
+    from flowdec_tpu.ops.gn_act_conv_pallas import (
+        gn_silu_conv3x3_reference,
+        gn_silu_conv3x3_v2,
+    )
+
+    b_, h, w_, ci, co, g = shape
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b_, h, w_, ci)).astype(np.float32))
+    s = jnp.asarray(rng.random(ci).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.standard_normal(ci).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.1)
+    got = gn_silu_conv3x3_v2(x, s, bi, w, bc, g, 1e-6, True)
+    ref = gn_silu_conv3x3_reference(x, s, bi, w, bc, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_gn_silu_conv3x3_v2_backward():
+    from flowdec_tpu.ops.gn_act_conv_pallas import (
+        gn_silu_conv3x3_reference,
+        gn_silu_conv3x3_v2,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    s = jnp.asarray(rng.random(16).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1)
+
+    gf = jax.grad(lambda *a: jnp.sum(jnp.square(
+        gn_silu_conv3x3_v2(*a, 4, 1e-6, True))), argnums=(0, 1, 2, 3, 4))(
+            x, s, bi, w, bc)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.square(
+        gn_silu_conv3x3_reference(*a, 4, 1e-6))), argnums=(0, 1, 2, 3, 4))(
+            x, s, bi, w, bc)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 10, 32, 16, 8), (1, 16, 12, 16, 32, 4)])
+def test_gn_silu_conv3x3_v3_matches_reference(shape):
+    from flowdec_tpu.ops.gn_act_conv_pallas import (
+        gn_silu_conv3x3_reference,
+        gn_silu_conv3x3_v3,
+    )
+
+    b_, h, w_, ci, co, g = shape
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b_, h, w_, ci)).astype(np.float32))
+    s = jnp.asarray(rng.random(ci).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.standard_normal(ci).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.1)
+    got = gn_silu_conv3x3_v3(x, s, bi, w, bc, g, 1e-6, True)
+    ref = gn_silu_conv3x3_reference(x, s, bi, w, bc, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
