@@ -72,14 +72,12 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        if x.dtype == jnp.bfloat16:
-            # force the producer (usually a conv) to MATERIALIZE bf16: without
-            # this barrier XLA sees the f32 converts feeding the stats
-            # reductions and emits f32 conv outputs + f32 layout copies of the
-            # largest activations — measured 7.5 GB-per-conv HLO temps (4×) in
-            # the batch-8×10 s enhance graph, the real cause of the "bf16 long-T
-            # OOM" (PERF.md).
-            x = jax.lax.optimization_barrier(x)
+        # NOTE (measured, PERF.md): an optimization_barrier here was tried to
+        # stop XLA emitting f32 producer-conv outputs (7.5 GB HLO temps in the
+        # batch-8×10 s graph). It cost 17% end-to-end AND did not remove the
+        # temps — this runtime pins --xla_allow_excess_precision=true, which
+        # keeps f32 through the barrier. The structural fix is the fused
+        # GN+conv Pallas path (bf16 output by construction).
 
         xg = x.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)

@@ -272,9 +272,13 @@ def _separable_fir_dispatch(
     method = _fir_method
     if method == "auto":
         single = x.ndim < 4 or x.shape[0] == 1
+        # small-C tensors (the 2/4-channel progressive pyramids) waste
+        # 16-32x in lane padding under depthwise convs (an OOM dump showed a
+        # 120 MB pyramid tensor padded to 1.88 GB) — always matmul those
+        small_c = x.shape[-1] <= 8
         method = (
             "matmul"
-            if single and jax.default_backend() == "tpu"
+            if (single or small_c) and jax.default_backend() == "tpu"
             else "depthwise"
         )
     return _FIR_IMPLS[method](x, k1d, up=up, down=down, pad=pad)
