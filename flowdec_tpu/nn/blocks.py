@@ -221,12 +221,15 @@ class ResnetBlockBigGAN(nn.Module):
         # test hook: force the fused path in interpret mode on CPU so the
         # wiring (param holders, eligibility plumbing) is covered by pytest
         force = os.environ.get("FLOWDEC_FUSED_GN_CONV_FORCE") == "1"
+        # level gate: only fuse at spatial sizes where the kernel beats XLA
+        # end-to-end (measure per model via FLOWDEC_FUSED_MIN_H)
+        min_h = int(os.environ.get("FLOWDEC_FUSED_MIN_H", "8"))
         in_ch = h.shape[-1]
         use_fused = (
             self.fused_gn_conv
             and fuse_ok
             and self.act is _ACTS["swish"]
-            and h.shape[1] >= 8
+            and h.shape[1] >= (8 if force else min_h)
             and h.shape[2] >= 8
             and (
                 force

@@ -67,6 +67,8 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         c = x.shape[-1]
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -76,8 +78,35 @@ class GroupNorm(nn.Module):
         # stop XLA emitting f32 producer-conv outputs (7.5 GB HLO temps in the
         # batch-8×10 s graph). It cost 17% end-to-end AND did not remove the
         # temps — this runtime pins --xla_allow_excess_precision=true, which
-        # keeps f32 through the barrier. The structural fix is the fused
-        # GN+conv Pallas path (bf16 output by construction).
+        # keeps f32 through the barrier. The structural fix is the opaque
+        # Pallas stats pass below (FLOWDEC_GN_STATS=pallas): the producer
+        # materializes in x.dtype once and the normalize consumes the
+        # kernel's aliased passthrough, never the pre-boundary f32 value.
+        force = os.environ.get("FLOWDEC_GN_STATS_FORCE") == "1"
+        n_spatial = 1
+        for d in x.shape[1:-1]:
+            n_spatial *= d
+        if (
+            (force or os.environ.get("FLOWDEC_GN_STATS") == "pallas")
+            and x.ndim >= 3
+            and n_spatial % 8 == 0
+            and (force or jax.default_backend() == "tpu")
+        ):
+            from flowdec_tpu.ops.group_stats_pallas import group_stats_passthrough
+
+            xp, mean_g, inv_g = group_stats_passthrough(
+                x, g, self.epsilon, interpret=force
+            )
+            cg = c // g
+            a = (inv_g[:, :, None] * scale.astype(jnp.float32).reshape(g, cg))
+            b = (
+                bias.astype(jnp.float32).reshape(g, cg)
+                - mean_g[:, :, None] * a
+            )
+            bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            a = a.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
+            b = b.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
+            return xp * a + b
 
         xg = x.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)

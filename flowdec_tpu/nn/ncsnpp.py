@@ -95,6 +95,15 @@ class NCSNppConfig:
     fused_groupnorm: bool = False
     # Pallas-fused GroupNorm+SiLU+conv3x3 (perf knob; TPU + swish + C%128==0)
     fused_gn_conv: bool = False
+    # Run the U-Net over (time, freq) instead of (freq, time) images: two
+    # cheap 4-channel transposes at entry/exit put the 768-bin frequency
+    # axis in the second-minor (sublane) position, where it space-blocks
+    # 8×96 with zero padding (T=640 pads to 648). Layout experiment for the
+    # Mosaic conv-relayout copies measured at 19% of device time (PERF.md).
+    # Weight layouts are identical (3×3 kernels, symmetric resampling), but
+    # trained weights are orientation-specific — flip kernel H/W when
+    # importing checkpoints trained in the other orientation.
+    transpose_image: bool = False
 
     def __post_init__(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -170,6 +179,8 @@ class NCSNpp(nn.Module):
         # (reference _preprocess :401-404).
         assert x.shape[-1] == 2 and y.shape[-1] == 2, "expected cpair inputs"
         h = jnp.concatenate([x, y], axis=-1)
+        if cfg.transpose_image:
+            h = jnp.swapaxes(h, 1, 2)
         input_dtype = h.dtype
 
         # --- time embedding ---
@@ -365,4 +376,6 @@ class NCSNpp(nn.Module):
             use_bias=cfg.output_bias,
             name="output_layer",
         )(h.astype(input_dtype))
+        if cfg.transpose_image:
+            out = jnp.swapaxes(out, 1, 2)
         return out.astype(jnp.float32)

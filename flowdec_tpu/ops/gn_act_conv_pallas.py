@@ -278,7 +278,7 @@ def _compute_tile(x_vmem, ab_ref, w_ref, bt_ref, o_ref, acc_ref,
     x_vmem[...] = (y * valid).astype(x_vmem.dtype)
 
     for r in range(tile_h):
-        acc_ref[...] = jnp.broadcast_to(bt_ref[...], acc_ref.shape)
+        acc_ref[...] = jnp.broadcast_to(bt_ref[0:1, :], acc_ref.shape)
         for dy in range(3):
             row = x_vmem[(r + dy) * wp8 : (r + dy) * wp8 + wp8, :]
             for dx in range(3):
@@ -372,9 +372,9 @@ def _run_v2(x_flat, ab, bt, w_flat, *, eps, h, width, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((2, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, cin), lambda i, j: (i, 0)),
             pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, cout), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec(
             (tile_h * width, cout),
@@ -423,12 +423,20 @@ def _fwd_impl_v2(x, gn_scale, gn_bias, w, b, num_groups, eps, interpret):
     mean_c = jnp.repeat(mean, cg, axis=1)
     a_row = inv_c * gn_scale.astype(jnp.float32)[None, :]
     b_row = gn_bias.astype(jnp.float32)[None, :] - mean_c * a_row
-    ab = jnp.stack([a_row, b_row], axis=1).reshape(2 * bsz, cin)    # rows A,B
+    # 8 rows per batch (A, B, 6 zero pad) so the per-batch block is a legal
+    # (8, C) sublane tile for bsz > 1
+    ab = jnp.concatenate(
+        [a_row[:, None, :], b_row[:, None, :],
+         jnp.zeros((bsz, 6, cin), jnp.float32)], axis=1
+    ).reshape(8 * bsz, cin)
 
-    bt = jnp.broadcast_to(
+    bt_row = jnp.broadcast_to(
         jnp.zeros((cout,), jnp.float32) if b is None else b.astype(jnp.float32),
         (bsz, cout),
     )
+    bt = jnp.concatenate(
+        [bt_row[:, None, :], jnp.zeros((bsz, 7, cout), jnp.float32)], axis=1
+    ).reshape(8 * bsz, cout)
 
     wp8 = ((width + 2 + 7) // 8) * 8
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, wp8 - width - 1), (0, 0)))
@@ -488,7 +496,7 @@ def _compute_tile_v3(x_vmem, ab_ref, w_ref, bt_ref, o_ref, p_ref, acc_ref,
     )
     x_vmem[...] = (y * valid).astype(x_vmem.dtype)
 
-    acc_ref[...] = jnp.broadcast_to(bt_ref[...], acc_ref.shape)
+    acc_ref[...] = jnp.broadcast_to(bt_ref[0:1, :], acc_ref.shape)
     for dy in range(3):
         # input row blocks [dy, dy+tile_h) line up with output rows [0, tile_h)
         p_ref[...] = jax.lax.dot_general(
@@ -585,9 +593,9 @@ def _run_v3(x_flat, ab, bt, w_flat, *, eps, h, width, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((2, cin), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, cin), lambda i, j: (i, 0)),
             pl.BlockSpec((3 * cin, 3 * cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, cout), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec(
             (tile_h * width, cout),
@@ -635,12 +643,18 @@ def _fwd_impl_v3(x, gn_scale, gn_bias, w, b, num_groups, eps, interpret):
     mean_c = jnp.repeat(mean, cg, axis=1)
     a_row = inv_c * gn_scale.astype(jnp.float32)[None, :]
     b_row = gn_bias.astype(jnp.float32)[None, :] - mean_c * a_row
-    ab = jnp.stack([a_row, b_row], axis=1).reshape(2 * bsz, cin)
+    ab = jnp.concatenate(
+        [a_row[:, None, :], b_row[:, None, :],
+         jnp.zeros((bsz, 6, cin), jnp.float32)], axis=1
+    ).reshape(8 * bsz, cin)
 
-    bt = jnp.broadcast_to(
+    bt_row = jnp.broadcast_to(
         jnp.zeros((cout,), jnp.float32) if b is None else b.astype(jnp.float32),
         (bsz, cout),
     )
+    bt = jnp.concatenate(
+        [bt_row[:, None, :], jnp.zeros((bsz, 7, cout), jnp.float32)], axis=1
+    ).reshape(8 * bsz, cout)
 
     wp8 = ((width + 2 + 7) // 8) * 8
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, wp8 - width - 1), (0, 0)))

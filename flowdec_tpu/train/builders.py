@@ -68,6 +68,7 @@ def build_backbone(
     remat: bool = True,
     fused_groupnorm: bool = False,
     fused_gn_conv: bool = False,
+    transpose_image: bool = False,
 ) -> NCSNpp:
     """NCSN++ from the reference's YAML schema (ncsnpp_*.yaml keys)."""
     out_kw = dict(kernel_size=3, bias=False)
@@ -102,6 +103,7 @@ def build_backbone(
         remat=remat,
         fused_groupnorm=fused_groupnorm,
         fused_gn_conv=fused_gn_conv,
+        transpose_image=transpose_image,
     )
     return NCSNpp(cfg)
 

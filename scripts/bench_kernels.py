@@ -43,11 +43,16 @@ def timeit(fn, args, iters=20, rounds=3):
     @jax.jit
     def run(x, *rest):
         def body(carry, i):
-            xi = x * (1.0 + i.astype(x.dtype) * 1e-4)
-            o = fn(xi, *rest)
-            # fold a scalar of o back into the carry to serialize iterations
-            return carry + o.reshape(-1)[0].astype(jnp.float32), ()
-        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            o = fn(carry, *rest)
+            # feed the FULL output into the next input: a scalar feedback is
+            # not enough — XLA pushes slice through dot AND conv, DCE-ing
+            # the rest of the op (measured: conv3x3 "ran" at 398 TFLOP/s,
+            # 2× chip peak, with scalar feedback). cout==cin here so shapes
+            # line up; the per-iter elementwise add is ~1 HBM pass of
+            # overhead, identical across impls.
+            assert o.shape == carry.shape, "timeit needs cout == cin"
+            return x + (o * 1e-3).astype(x.dtype), ()
+        c, _ = jax.lax.scan(body, x, jnp.arange(iters))
         return c
 
     run(x, *rest).block_until_ready()
@@ -79,7 +84,18 @@ def main():
     w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05, dt)
     bc = jnp.asarray(rng.standard_normal(co) * 0.1, jnp.float32)
 
+    def conv_only(x, s, bi, w, bc):
+        # raw SAME conv3x3 — isolates XLA's conv rate at this shape. The
+        # |x| makes the op NONLINEAR in x: without it XLA hoists the conv
+        # out of the timing scan (conv(x·s) = s·conv(x)) and the measurement
+        # reads 2× above chip peak (observed: "405 TFLOPS").
+        return jax.lax.conv_general_dilated(
+            jnp.abs(x), w.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
     impls = {
+        "conv": jax.jit(conv_only),
         "xla": jax.jit(lambda *a: gn_silu_conv3x3_reference(*a, args.groups)),
         "v1": jax.jit(lambda *a: gn_silu_conv3x3(*a, args.groups)),
         "v2": jax.jit(lambda *a: gn_silu_conv3x3_v2(*a, args.groups)),
@@ -96,7 +112,7 @@ def main():
             print(f"  {name} max|diff vs first| = {d:.2e}")
         ms = timeit(fn, (x, s, bi, w, bc))
         flops = b * h * w_ * ci * co * 9 * 2
-        print(f"{name:4s} {ms:8.2f} ms   {flops / ms / 1e9:7.1f} GFLOP/s"
+        print(f"{name:4s} {ms:8.2f} ms   {flops / ms / 1e9:7.1f} TFLOP/s"
               f"   shape={args.shape} {args.dtype}")
 
 

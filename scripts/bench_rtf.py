@@ -36,6 +36,7 @@ def build_model_variant(args):
         FLOWDEC_FINAL_NO_ATTN,
         fused_groupnorm=args.fused_gn,
         fused_gn_conv=args.fused_gn_conv,
+        transpose_image=args.transpose,
     )
     return FlowModel(
         backbone=NCSNpp(cfg),
@@ -61,12 +62,20 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--fused-gn", action="store_true")
     p.add_argument("--fused-gn-conv", action="store_true")
+    p.add_argument("--transpose", action="store_true",
+                   help="(time, freq) image orientation (NCSNppConfig.transpose_image)")
+    p.add_argument("--gn-stats", action="store_true",
+                   help="opaque Pallas GroupNorm stats pass (FLOWDEC_GN_STATS=pallas)")
     p.add_argument("--pipeline", action="store_true",
                    help="full codec-decode + postfilter pipeline")
     p.add_argument("--compile-only", action="store_true",
                    help="trace+compile+run once, skip timing (sanity/warm cache)")
     args = p.parse_args()
 
+    if args.gn_stats:
+        import os
+
+        os.environ["FLOWDEC_GN_STATS"] = "pallas"
     model = build_model_variant(args)
     params = model.init_params(jax.random.PRNGKey(0), frames=256)
 
@@ -96,6 +105,10 @@ def main():
         knobs.append("gnconv")
     if args.fused_gn:
         knobs.append("gnfused")
+    if args.transpose:
+        knobs.append("tf")
+    if args.gn_stats:
+        knobs.append("gnstats")
     name = "_".join(
         [f"flowdec75m_{tag}_rtf", args.dtype, f"b{args.batch}",
          f"{args.seconds:g}s"] + knobs)

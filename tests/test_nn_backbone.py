@@ -197,3 +197,25 @@ def test_custom_groupnorm_matches_flax():
     np.testing.assert_allclose(
         np.asarray(ab, np.float32), np.asarray(b), atol=0.1
     )
+
+
+def test_transpose_image_equivalence():
+    """transpose_image=True is exactly swapaxes ∘ plain-model ∘ swapaxes with
+    the SAME params (all ops are orientation-symmetric in their param
+    shapes: square 3×3 kernels, separable FIR, channel-wise norms)."""
+    base = dict(
+        nf=16, ch_mult=(1, 2), num_res_blocks=1, image_size=32,
+        bottleneck_attn=False, attn_resolutions=(),
+    )
+    plain = NCSNpp(NCSNppConfig(**base))
+    trans = NCSNpp(NCSNppConfig(**base, transpose_image=True))
+    x, y = _complex_inputs(jax.random.PRNGKey(21), f=32, t_frames=16)
+    t = jnp.full((B,), 0.3)
+    params = plain.init(jax.random.PRNGKey(22), x, y, t)
+
+    out_t = trans.apply(params, x, y, t)
+    xs, ys = jnp.swapaxes(x, 1, 2), jnp.swapaxes(y, 1, 2)
+    out_ref = jnp.swapaxes(plain.apply(params, xs, ys, t), 1, 2)
+    assert out_t.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -233,3 +233,51 @@ def test_gn_silu_conv3x3_v3_matches_reference(shape):
     got = gn_silu_conv3x3_v3(x, s, bi, w, bc, g, 1e-6, True)
     ref = gn_silu_conv3x3_reference(x, s, bi, w, bc, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_group_stats_passthrough_numerics():
+    """stats_op sums/grads + GroupNorm wiring parity for the opaque Pallas
+    stats pass (FLOWDEC_GN_STATS=pallas), interpret mode on CPU."""
+    from flowdec_tpu.ops.group_stats_pallas import group_stats_passthrough, stats_op
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+    xp, s1, s2 = stats_op(x, True)
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(x.sum(1)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray((x**2).sum(1)), rtol=1e-5)
+
+    def f(x):
+        xp, a, b = stats_op(x, True)
+        return (xp * 2.0).sum() + a.sum() * 0.5 + (b * 0.25).sum()
+
+    def f_ref(x):
+        return (x * 2.0).sum() + x.sum(1).sum() * 0.5 + ((x**2).sum(1) * 0.25).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(f_ref)(x)), rtol=1e-5
+    )
+
+    x4 = jnp.asarray(rng.standard_normal((2, 8, 6, 32)), jnp.float32)
+    _, mean, _ = group_stats_passthrough(x4, 8, 1e-6, interpret=True)
+    m_ref = (
+        np.asarray(x4).reshape(2, 48, 8, 4).transpose(0, 2, 1, 3)
+        .reshape(2, 8, -1).mean(-1)
+    )
+    np.testing.assert_allclose(np.asarray(mean), m_ref, rtol=1e-5)
+
+
+def test_groupnorm_pallas_stats_matches_plain(monkeypatch):
+    from flowdec_tpu.nn.layers import GroupNorm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 32)), jnp.float32)
+    gn = GroupNorm(num_groups=8)
+    params = gn.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(lambda p: p + 0.1, params)
+    y_plain = gn.apply(params, x)
+    monkeypatch.setenv("FLOWDEC_GN_STATS_FORCE", "1")
+    y_pallas = gn.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_pallas), np.asarray(y_plain), rtol=2e-5, atol=2e-5
+    )
