@@ -108,7 +108,21 @@ class GroupNorm(nn.Module):
             b = b.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
             return xp * a + b
 
-        xg = x.reshape(x.shape[:-1] + (g, c // g))
+        # FLOWDEC_GN_STATS=bitcast: route the stats reduce through a bf16
+        # bitcast round-trip. If XLA's simplifier does not fold the pair,
+        # the excess-precision pass can't chase the f32 convert back into
+        # the producer conv — same goal as the Pallas pass above at zero
+        # runtime cost (bitcasts are free); measured per-graph.
+        x_stats = x
+        if (
+            os.environ.get("FLOWDEC_GN_STATS") == "bitcast"
+            and x.dtype == jnp.bfloat16
+        ):
+            x_stats = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(x, jnp.uint16), jnp.bfloat16
+            )
+
+        xg = x_stats.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
         mean2 = jnp.mean(

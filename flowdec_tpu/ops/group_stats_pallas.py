@@ -56,8 +56,11 @@ def _kernel(x_ref, pass_ref, o_ref, *, tile):
     o_ref[8:16, :] += jnp.sum(x8 * x8, axis=0)
 
 
-def _pick_tile(rows: int) -> int:
-    t = min(4096, rows)
+def _pick_tile(rows: int, c: int, itemsize: int) -> int:
+    # the input block is double-buffered by the pipeline: keep 2·tile·C·item
+    # within a conservative VMEM budget (observed hard limit ~16 MB)
+    budget = 10 * 1024 * 1024
+    t = min(4096, rows, budget // (2 * c * itemsize))
     t -= t % 8
     while t > 8 and rows % t:
         t -= 8
@@ -68,7 +71,7 @@ def _pick_tile(rows: int) -> int:
 def _run(x3, interpret=False):
     b, rows, c = x3.shape
     x2 = x3.reshape(b * rows, c)
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c, x2.dtype.itemsize)
     n_tiles = rows // tile
     x_pass, partials = pl.pallas_call(
         functools.partial(_kernel, tile=tile),

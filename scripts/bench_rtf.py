@@ -64,8 +64,8 @@ def main():
     p.add_argument("--fused-gn-conv", action="store_true")
     p.add_argument("--transpose", action="store_true",
                    help="(time, freq) image orientation (NCSNppConfig.transpose_image)")
-    p.add_argument("--gn-stats", action="store_true",
-                   help="opaque Pallas GroupNorm stats pass (FLOWDEC_GN_STATS=pallas)")
+    p.add_argument("--gn-stats", choices=["pallas", "bitcast"], default=None,
+                   help="GroupNorm stats variant (sets FLOWDEC_GN_STATS)")
     p.add_argument("--pipeline", action="store_true",
                    help="full codec-decode + postfilter pipeline")
     p.add_argument("--compile-only", action="store_true",
@@ -75,7 +75,7 @@ def main():
     if args.gn_stats:
         import os
 
-        os.environ["FLOWDEC_GN_STATS"] = "pallas"
+        os.environ["FLOWDEC_GN_STATS"] = args.gn_stats
     model = build_model_variant(args)
     params = model.init_params(jax.random.PRNGKey(0), frames=256)
 
@@ -108,7 +108,7 @@ def main():
     if args.transpose:
         knobs.append("tf")
     if args.gn_stats:
-        knobs.append("gnstats")
+        knobs.append(f"gnstats_{args.gn_stats}")
     name = "_".join(
         [f"flowdec75m_{tag}_rtf", args.dtype, f"b{args.batch}",
          f"{args.seconds:g}s"] + knobs)
