@@ -11,6 +11,7 @@ from flowdec_tpu.parallel.mesh import (
     shard_batch,
 )
 from flowdec_tpu.parallel.sequence import make_sequence_parallel_enhance
+from flowdec_tpu.parallel.tensor import make_tp_enhance, tp_param_shardings
 
 __all__ = [
     "DATA_AXIS",
@@ -20,6 +21,8 @@ __all__ = [
     "is_primary_host",
     "make_mesh",
     "make_sequence_parallel_enhance",
+    "make_tp_enhance",
+    "tp_param_shardings",
     "replicated",
     "shard_batch",
 ]

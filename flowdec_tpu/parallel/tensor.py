@@ -1,0 +1,90 @@
+"""Tensor (channel) parallelism for the NCSN++ U-Net over the 'model' axis.
+
+A capability the reference lacks entirely (SURVEY.md §2.8: DDP only). The
+25-75M FlowDec backbone fits in one chip's HBM, but channel sharding lets
+(a) much larger U-Net variants train/serve without pipeline surgery and
+(b) a dp×tp 2-D mesh trade batch scaling against per-chip memory.
+
+Design: XLA GSPMD, not hand-written collectives. Every convolution kernel
+(HWIO) and its bias shard on the OUTPUT-channel axis over 'model';
+activations then flow channel-sharded, and XLA's sharding propagation
+inserts the all-gathers/psums where an op genuinely needs full channels
+(GroupNorm group reduces, channel concats at skip joins, the 4→nf input and
+final →2 output convs, which stay small and replicated). On TPU these
+collectives ride ICI inside `jit` — the scaling-book recipe: pick a mesh,
+annotate shardings, let the compiler place the collectives.
+
+Param-name driven: any leaf whose last axis is a multiple of the model-axis
+size and ≥ min_channels shards on that last axis (conv HWIO O, Dense O,
+per-channel GroupNorm scale/bias all have channels last in flax); everything
+else replicates. This covers the whole NCSN++ tree without per-layer rules
+and keeps checkpoint layout unchanged (shardings are a placement, not a
+format).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowdec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["tp_param_shardings", "make_tp_enhance"]
+
+
+def tp_param_shardings(
+    params: Any,
+    mesh: Mesh,
+    *,
+    axis: str = MODEL_AXIS,
+    min_channels: int = 8,
+):
+    """Per-leaf NamedShardings: last (channel) axis over `axis` when evenly
+    divisible and wide enough; replicated otherwise."""
+    n = mesh.shape[axis]
+
+    def leaf(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        if not shape or shape[-1] < max(min_channels, n) or shape[-1] % n:
+            return NamedSharding(mesh, P())
+        spec = [None] * (len(shape) - 1) + [axis]
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf, params)
+
+
+def make_tp_enhance(
+    model,
+    mesh: Mesh,
+    *,
+    enhance_kwargs: Optional[dict] = None,
+):
+    """jitted enhance with channel-sharded params and batch over 'data'.
+
+    Returns fn(params, key, y) -> x_hat. `params` may be unsharded host
+    arrays; they are placed according to tp_param_shardings on first call.
+    """
+    kwargs = dict(enhance_kwargs or {})
+
+    def _enhance(params, key, y):
+        return model.enhance(params, key, y, **kwargs)
+
+    fn = jax.jit(_enhance, out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+
+    def call(params, key, y):
+        # re-place every input on THIS mesh (inputs may arrive committed to a
+        # different mesh, e.g. the DP mesh used for training)
+        shardings = tp_param_shardings(params, mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(np.asarray(x) if not isinstance(
+                x, jax.Array) else x, s),
+            params, shardings,
+        )
+        key = jax.device_put(key, NamedSharding(mesh, P()))
+        y = jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS)))
+        return fn(params, key, y)
+
+    return call

@@ -218,3 +218,32 @@ def test_sequence_parallel_enhance_matches_single_device():
     fn = make_sequence_parallel_enhance(model, mesh, enhance_kwargs=kwargs)
     got = fn(params, jax.random.PRNGKey(1), y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_tensor_parallel_enhance_matches_single_device():
+    """Channel-sharded (tensor-parallel) enhance over a 4(data)x2(model) mesh
+    equals the unsharded result — GSPMD inserts the channel collectives
+    implied by the O-sharded conv kernels."""
+    import numpy as np
+
+    from flowdec_tpu.parallel import make_mesh
+    from flowdec_tpu.parallel.tensor import make_tp_enhance, tp_param_shardings
+
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((4, 2016)).astype(np.float32) * 0.1)
+
+    kwargs = dict(n_steps=2, solver="midpoint", sigma_fac=0.0)
+    ref = model.enhance(params, jax.random.PRNGKey(1), y, **kwargs)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = tp_param_shardings(params, mesh)
+    specs = {s.spec for s in jax.tree.leaves(
+        shardings, is_leaf=lambda l: hasattr(l, "spec"))}
+    assert any(s != jax.sharding.PartitionSpec() for s in specs), (
+        "no leaf actually channel-sharded"
+    )
+    fn = make_tp_enhance(model, mesh, enhance_kwargs=kwargs)
+    got = fn(params, jax.random.PRNGKey(1), y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
