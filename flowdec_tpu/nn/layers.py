@@ -108,21 +108,13 @@ class GroupNorm(nn.Module):
             b = b.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
             return xp * a + b
 
-        # FLOWDEC_GN_STATS=bitcast: route the stats reduce through a bf16
-        # bitcast round-trip. If XLA's simplifier does not fold the pair,
-        # the excess-precision pass can't chase the f32 convert back into
-        # the producer conv — same goal as the Pallas pass above at zero
-        # runtime cost (bitcasts are free); measured per-graph.
-        x_stats = x
-        if (
-            os.environ.get("FLOWDEC_GN_STATS") == "bitcast"
-            and x.dtype == jnp.bfloat16
-        ):
-            x_stats = jax.lax.bitcast_convert_type(
-                jax.lax.bitcast_convert_type(x, jnp.uint16), jnp.bfloat16
-            )
-
-        xg = x_stats.reshape(x.shape[:-1] + (g, c // g))
+        # A bf16 bitcast round-trip on the stats input was also tried
+        # (FLOWDEC_GN_STATS=bitcast, removed): measured 8.25× vs 8.96× AND
+        # the batch-16 f32[B,768,T,256] conv temps survived — the
+        # excess-precision chain isn't breakable from the consumer side
+        # without an opaque boundary, and every opaque boundary measured so
+        # far (barrier, Pallas stats, Pallas convs) costs more than it saves.
+        xg = x.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
         mean2 = jnp.mean(

@@ -64,7 +64,7 @@ def main():
     p.add_argument("--fused-gn-conv", action="store_true")
     p.add_argument("--transpose", action="store_true",
                    help="(time, freq) image orientation (NCSNppConfig.transpose_image)")
-    p.add_argument("--gn-stats", choices=["pallas", "bitcast"], default=None,
+    p.add_argument("--gn-stats", choices=["pallas"], default=None,
                    help="GroupNorm stats variant (sets FLOWDEC_GN_STATS)")
     p.add_argument("--pipeline", action="store_true",
                    help="full codec-decode + postfilter pipeline")
