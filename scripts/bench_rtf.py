@@ -36,7 +36,8 @@ def build_model_variant(args):
         FLOWDEC_FINAL_NO_ATTN,
         fused_groupnorm=args.fused_gn,
         fused_gn_conv=args.fused_gn_conv,
-        transpose_image=args.transpose,
+        # getattr: callers like profile_rtf reuse this with a smaller argparse
+        transpose_image=getattr(args, "transpose", False),
     )
     return FlowModel(
         backbone=NCSNpp(cfg),
