@@ -89,3 +89,16 @@ def plot_waveform(x, sr: int, ax=None, title: Optional[str] = None):
     if title:
         ax.set_title(title)
     return ax
+
+
+def compare_specs(named_signals, sr: int, n_fft: int = 1024):
+    """Stacked spectrograms of {name: waveform} for side-by-side comparison
+    (the demo-notebook equivalent of the reference's display cells)."""
+    import matplotlib.pyplot as plt
+
+    n = len(named_signals)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False)
+    for ax, (name, x) in zip(axes[:, 0], named_signals.items()):
+        plot_spectrogram(x, sr, n_fft=n_fft, ax=ax, title=name)
+    fig.tight_layout()
+    return fig
