@@ -21,3 +21,17 @@ Layout (idiomatic JAX, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Honor the user's JAX_PLATFORMS even when an accelerator plugin overrides
+# it (observed: the env var alone is ignored and jax silently initializes
+# the TPU backend — `JAX_PLATFORMS=cpu python ...` ran on the chip). The
+# config update below is authoritative; no-op once a backend exists.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # already initialized or unknown platform string
+        pass

@@ -177,12 +177,15 @@ class FlowModel(EnhancementModel):
         solver: str = "euler",
         sigma_fac: float = 1.0,
         return_trajectory: bool = False,
+        init: Optional[jax.Array] = None,
     ) -> jax.Array:
         """ODE solve in feature domain from noised Y at t=0 to t=1.
 
         With compute_dtype set (e.g. "bfloat16"), params are cast once and the
         whole N-step solve runs in that dtype on the MXU; the ODE state stays
-        in compute dtype and is cast back to f32 at the end."""
+        in compute dtype and is cast back to f32 at the end. `init` overrides
+        the noised-Y initial state (distillation passes an explicit z0 so the
+        (z0, solution) coupling is available to the caller)."""
         batch = Y.shape[0]
         params_c = self.cast_for_compute(params)
         Y_c = self.cast_features(Y)
@@ -192,7 +195,9 @@ class FlowModel(EnhancementModel):
             v = self.apply_backbone(params_c, xt, Y_c, t_vec)
             return self.cast_features(v)
 
-        init = self.cast_features(Y + sigma_fac * self._noise(key, Y, self.sigma_y))
+        if init is None:
+            init = Y + sigma_fac * self._noise(key, Y, self.sigma_y)
+        init = self.cast_features(init)
         out = ode_solve(
             vf, init, n_steps=n_steps, solver=solver,
             return_trajectory=return_trajectory,

@@ -247,3 +247,41 @@ def test_tensor_parallel_enhance_matches_single_device():
     fn = make_tp_enhance(model, mesh, enhance_kwargs=kwargs)
     got = fn(params, jax.random.PRNGKey(1), y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_reflow_distillation_step():
+    """ReFlow distillation: frozen-teacher pair generation is deterministic,
+    the jitted distill step reduces the straight-bridge loss, and only the
+    student moves."""
+    from flowdec_tpu.flow.distill import generate_reflow_pairs, make_distill_step
+
+    model = _model()
+    teacher_params = model.init_params(jax.random.PRNGKey(7), frames=64)
+    _, y = _batch(batch_size=4)
+
+    z0, z1, Y = generate_reflow_pairs(
+        model, teacher_params, jax.random.PRNGKey(1), y, n_steps=2, solver="euler"
+    )
+    assert z0.shape == z1.shape == Y.shape
+    assert np.isfinite(np.asarray(z1)).all()
+    z0b, z1b, _ = generate_reflow_pairs(
+        model, teacher_params, jax.random.PRNGKey(1), y, n_steps=2, solver="euler"
+    )
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z0b))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z1b))
+
+    optimizer = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step = make_distill_step(model, optimizer, teacher_n_steps=2,
+                             teacher_solver="euler")
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, teacher_params, y,
+                              jax.random.fold_in(jax.random.PRNGKey(2), i % 2))
+        losses.append(float(metrics["distill_loss"]))
+    assert all(np.isfinite(losses))
+    # at init both nets output ~0 (init_scale=0 zero-init output convs), so
+    # losses[0] ~ 0 and the first update kicks the student off zero; progress
+    # is measured from the post-kick loss
+    assert losses[-1] < losses[1] * 0.25, f"no distillation progress: {losses}"
+    assert int(state.step) == 10
