@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flowdec_tpu.parallel.mesh import DATA_AXIS
 from flowdec_tpu.train.state import TrainState, masked_optimizer
 
-__all__ = ["build_train_step", "make_train_step", "make_finetune_step", "make_eval_step", "fsdp_state_shardings"]
+__all__ = ["build_train_step", "make_train_step", "make_finetune_step", "make_eval_step", "fsdp_state_shardings", "tp_state_shardings"]
 
 
 def build_train_step(model, optimizer: optax.GradientTransformation, *, ema_decay: float = 0.999):
@@ -63,6 +63,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     fsdp: bool = False,
     fsdp_min_size: int = 2**16,
+    tp: bool = False,
     example_state: Optional[TrainState] = None,
     donate: bool = True,
 ):
@@ -73,6 +74,10 @@ def make_train_step(
     With fsdp=True (requires example_state for the tree structure), params /
     EMA / optimizer state are additionally sharded over the data axis
     (ZeRO-3-style; XLA all-gathers params and reduce-scatters grads).
+    With tp=True (also requires example_state), params / EMA / Adam moments
+    shard on their output-channel axis over the 'model' mesh axis
+    (tensor parallelism; GSPMD places the channel collectives in both the
+    forward and backward pass). fsdp and tp are mutually exclusive.
     """
     step_fn = build_train_step(model, optimizer, ema_decay=ema_decay)
     donate_args = (0,) if donate else ()
@@ -80,9 +85,13 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=donate_args)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    assert not (fsdp and tp), "fsdp and tp are mutually exclusive"
     if fsdp:
         assert example_state is not None, "fsdp=True needs example_state"
         state_sh = fsdp_state_shardings(example_state, mesh, min_size=fsdp_min_size)
+    elif tp:
+        assert example_state is not None, "tp=True needs example_state"
+        state_sh = tp_state_shardings(example_state, mesh)
     else:
         state_sh = repl
     return jax.jit(
@@ -105,6 +114,24 @@ def fsdp_state_shardings(example_state: TrainState, mesh: Mesh, *, min_size: int
         step=repl,
         params=param_sh,
         ema_params=fsdp_sharding(example_state.ema_params, mesh, min_size=min_size),
+        opt_state=_match_opt_shardings(
+            example_state.opt_state, example_state.params, param_sh, repl
+        ),
+    )
+
+
+def tp_state_shardings(example_state: TrainState, mesh: Mesh) -> TrainState:
+    """Sharding tree for a TrainState under tensor parallelism: params/EMA
+    channel-sharded per tp_param_shardings, Adam moments following their
+    params, the rest replicated."""
+    from flowdec_tpu.parallel.tensor import tp_param_shardings
+
+    repl = NamedSharding(mesh, P())
+    param_sh = tp_param_shardings(example_state.params, mesh)
+    return TrainState(
+        step=repl,
+        params=param_sh,
+        ema_params=tp_param_shardings(example_state.ema_params, mesh),
         opt_state=_match_opt_shardings(
             example_state.opt_state, example_state.params, param_sh, repl
         ),

@@ -112,7 +112,7 @@ def main():
         knobs.append(f"gnstats_{args.gn_stats}")
     name = "_".join(
         [f"flowdec75m_{tag}_rtf", args.dtype, f"b{args.batch}",
-         f"{args.seconds:g}s"] + knobs)
+         f"{args.seconds:g}s", f"n{args.n_steps}{args.solver}"] + knobs)
     print(json.dumps({"metric": name, "value": round(rtf, 2),
                       "unit": "x_realtime", "vs_baseline": round(rtf / 50.0, 3),
                       "wall_s": round(time.perf_counter() - t0, 1)}))

@@ -285,3 +285,38 @@ def test_reflow_distillation_step():
     # is measured from the post-kick loss
     assert losses[-1] < losses[1] * 0.25, f"no distillation progress: {losses}"
     assert int(state.step) == 10
+
+
+def test_tp_sharded_train_step_matches_single_device():
+    """Tensor-parallel (channel-sharded) training on a 4(data)x2(model) mesh
+    produces the same loss trajectory as the replicated step."""
+    from flowdec_tpu.parallel import make_mesh
+    from flowdec_tpu.train.steps import tp_state_shardings
+
+    model = _model()
+    optimizer = make_optimizer(learning_rate=1e-3)
+    batch = _batch(batch_size=4)
+    key = jax.random.PRNGKey(5)
+
+    state_ref = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_ref = make_train_step(model, optimizer, donate=False)
+    losses_ref = []
+    for i in range(3):
+        state_ref, m = step_ref(state_ref, batch, jax.random.fold_in(key, i))
+        losses_ref.append(float(m["train_loss"]))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = create_train_state(model, jax.random.PRNGKey(0), optimizer, frames=64)
+    step_tp = make_train_step(
+        model, optimizer, mesh=mesh, tp=True, example_state=state_tp, donate=False
+    )
+    state_tp = jax.device_put(state_tp, tp_state_shardings(state_tp, mesh))
+    batch_tp = shard_batch(batch, mesh)
+    key_tp = jax.device_put(key, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    losses_tp = []
+    for i in range(3):
+        state_tp, m = step_tp(state_tp, batch_tp, jax.random.fold_in(key_tp, i))
+        losses_tp.append(float(m["train_loss"]))
+
+    np.testing.assert_allclose(losses_tp, losses_ref, rtol=2e-4, atol=2e-5)
