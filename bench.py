@@ -182,6 +182,13 @@ def main() -> None:
     )
 
     if os.environ.get("BENCH_ALL"):
+        # distilled operating point: N=1 Euler (NFE 1) — quality parity
+        # requires a reflow-distilled checkpoint (scripts/distill.py)
+        rtf_n1 = measure_rtf(model_bf16, params, seconds=5.0, batch=8,
+                             n_steps=1, solver="euler", iters=3)
+        print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe1_bf16_batch8",
+                          "value": round(rtf_n1, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_n1 / 50.0, 3)}))
         rtf_1 = measure_rtf(model_bf16, params, seconds=5.0)
         print(json.dumps({"metric": "flowdec75m_enhance_rtf_nfe6_single",
                           "value": round(rtf_1, 2), "unit": "x_realtime",
