@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--teacher-N", type=int, default=3)
     parser.add_argument("--teacher-solver", default="midpoint")
     parser.add_argument("--sigma-fac", type=float, default=1.0)
+    parser.add_argument("--ema-decay", type=float, default=0.999,
+                        help="student EMA decay; lower it for short runs or "
+                             "the saved EMA stays ~the teacher")
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--ckpt-every", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)
@@ -79,7 +82,8 @@ def main(argv=None):
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_distill_step(
         model, optimizer, teacher_n_steps=args.teacher_N,
-        teacher_solver=args.teacher_solver, sigma_fac=args.sigma_fac, mesh=mesh,
+        teacher_solver=args.teacher_solver, sigma_fac=args.sigma_fac,
+        ema_decay=args.ema_decay, mesh=mesh,
     )
 
     ckpt = CheckpointManager(
