@@ -77,6 +77,10 @@ def reflow_loss(
     vt = model.apply_backbone(params, xt, Y, t, train=train, rngs={"dropout": k_drop})
 
     sq_errs = cabs2(vt - ut)
+    # match FlowModel.loss: a teacher trained with per-bin/band error
+    # weighting must be distilled against the same weighted objective
+    if model.error_weighting is not None:
+        sq_errs = jnp.square(model.error_weighting) * sq_errs
     per_sample = jnp.mean(sq_errs.reshape(sq_errs.shape[0], -1), axis=1)
     finite = jnp.isfinite(per_sample)
     n_finite = jnp.sum(finite)

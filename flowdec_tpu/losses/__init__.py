@@ -19,6 +19,7 @@ from flowdec_tpu.losses.spectral import (
     mel_filterbank,
 )
 from flowdec_tpu.losses.pesq import TorchPESQSpeechLoss
+from flowdec_tpu.losses.pesq_jax import PesqSurrogateLoss
 
 __all__ = [
     "CQTLoss",
@@ -27,4 +28,5 @@ __all__ = [
     "WaveformL1Loss",
     "mel_filterbank",
     "TorchPESQSpeechLoss",
+    "PesqSurrogateLoss",
 ]

@@ -4,10 +4,12 @@ Capability parity with TorchPESQSpeechLoss (/root/reference/flowdec/
 losses.py:14-37): a differentiable PESQ surrogate applied only to speech
 audio (`only_applies_to = ['speech']`), values clamped at 10.
 
-The reference delegates to the external `torch_pesq` package. A
-differentiable PESQ requires its perceptual model; this wrapper gates on the
-package and degrades with a clear error otherwise (the loss is unwired in the
-reference's released training loop as well — SURVEY.md §2.1 L5c).
+The reference delegates to the external `torch_pesq` package; this wrapper
+gates on that package and degrades with a clear error otherwise. NOTE: this
+wrapper is host-side and NON-differentiable inside jit (returns a Python
+float) — for a PESQ TRAINING signal use losses.pesq_jax.PesqSurrogateLoss,
+the JAX-native perceptual surrogate that runs inside the jitted finetune
+step. Keep this wrapper for eval-style spot checks only.
 """
 
 from __future__ import annotations

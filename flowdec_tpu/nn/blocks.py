@@ -223,6 +223,9 @@ class ResnetBlockBigGAN(nn.Module):
         force = os.environ.get("FLOWDEC_FUSED_GN_CONV_FORCE") == "1"
         # level gate: only fuse at spatial sizes where the kernel beats XLA
         # end-to-end (measure per model via FLOWDEC_FUSED_MIN_H)
+        # NOTE: both env vars are captured at TRACE time — after the first
+        # jit trace, changing them in-process has no effect (set before the
+        # first call, or use a fresh process per A/B point)
         min_h = int(os.environ.get("FLOWDEC_FUSED_MIN_H", "8"))
         in_ch = h.shape[-1]
         use_fused = (

@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "gn_silu_conv3x3",
     "gn_silu_conv3x3_v2",
+    "gn_silu_conv3x3_v3",
     "gn_silu_conv3x3_reference",
 ]
 
@@ -204,7 +205,8 @@ def _run(x_flat, sb, gmat, w_flat, *, num_groups, eps, h, width, interpret=False
 def gn_silu_conv3x3(x, gn_scale, gn_bias, w, b, num_groups, eps=1e-6,
                     interpret=False):
     """conv3x3(silu(group_norm(x)·scale+bias)) fused. x (B,H,W,C); w
-    (3,3,C,Cout); b (Cout,) or None-like zeros."""
+    (3,3,C,Cout); b (Cout,) REQUIRED (pass zeros for no bias — unlike
+    v2/v3, v1 does not accept None)."""
     return _fwd_impl(x, gn_scale, gn_bias, w, b, num_groups, eps, interpret)
 
 
@@ -355,9 +357,9 @@ def _pick_tile_h_v2(h, width, wp8, cin, cout, bytes_per):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "h", "width", "interpret")
+    jax.jit, static_argnames=("h", "width", "interpret")
 )
-def _run_v2(x_flat, ab, bt, w_flat, *, eps, h, width, interpret=False):
+def _run_v2(x_flat, ab, bt, w_flat, *, h, width, interpret=False):
     b, hp_wp8, cin = x_flat.shape
     wp8 = hp_wp8 // (h + 2)
     cout = w_flat.shape[-1]
@@ -442,7 +444,7 @@ def _fwd_impl_v2(x, gn_scale, gn_bias, w, b, num_groups, eps, interpret):
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, wp8 - width - 1), (0, 0)))
     x_flat = x_pad.reshape(bsz, (h + 2) * wp8, cin)
     w_flat = w.astype(x.dtype).reshape(9 * cin, cout)
-    return _run_v2(x_flat, ab, bt, w_flat, eps=eps, h=h, width=width,
+    return _run_v2(x_flat, ab, bt, w_flat, h=h, width=width,
                    interpret=interpret)
 
 
@@ -577,8 +579,8 @@ def _pick_tile_h_v3(h, width, wp8, cin, cout, bytes_per):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "h", "width", "interpret"))
-def _run_v3(x_flat, ab, bt, w_flat, *, eps, h, width, interpret=False):
+@functools.partial(jax.jit, static_argnames=("h", "width", "interpret"))
+def _run_v3(x_flat, ab, bt, w_flat, *, h, width, interpret=False):
     b, hp_wp8, cin = x_flat.shape
     wp8 = hp_wp8 // (h + 2)
     cout = w_flat.shape[-1] // 3
@@ -663,7 +665,7 @@ def _fwd_impl_v3(x, gn_scale, gn_bias, w, b, num_groups, eps, interpret):
     w_wide = jnp.transpose(w.astype(x.dtype), (0, 2, 1, 3)).reshape(
         3 * cin, 3 * cout
     )
-    return _run_v3(x_flat, ab, bt, w_wide, eps=eps, h=h, width=width,
+    return _run_v3(x_flat, ab, bt, w_wide, h=h, width=width,
                    interpret=interpret)
 
 

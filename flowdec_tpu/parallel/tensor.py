@@ -65,7 +65,10 @@ def make_tp_enhance(
     """jitted enhance with channel-sharded params and batch over 'data'.
 
     Returns fn(params, key, y) -> x_hat. `params` may be unsharded host
-    arrays; they are placed according to tp_param_shardings on first call.
+    arrays; they are placed according to tp_param_shardings the first time a
+    given params tree is seen. The placed tree is cached (keyed by the
+    identity of the incoming tree), so serving loops that call with the same
+    params pay the host-side sharding walk + device_put only once.
     """
     kwargs = dict(enhance_kwargs or {})
 
@@ -73,18 +76,25 @@ def make_tp_enhance(
         return model.enhance(params, key, y, **kwargs)
 
     fn = jax.jit(_enhance, out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+    placed_cache: dict = {}
 
     def call(params, key, y):
         # re-place every input on THIS mesh (inputs may arrive committed to a
         # different mesh, e.g. the DP mesh used for training)
-        shardings = tp_param_shardings(params, mesh)
-        params = jax.tree.map(
-            lambda x, s: jax.device_put(np.asarray(x) if not isinstance(
-                x, jax.Array) else x, s),
-            params, shardings,
-        )
+        cached = placed_cache.get(id(params))
+        if cached is None:
+            shardings = tp_param_shardings(params, mesh)
+            placed = jax.tree.map(
+                lambda x, s: jax.device_put(np.asarray(x) if not isinstance(
+                    x, jax.Array) else x, s),
+                params, shardings,
+            )
+            placed_cache.clear()  # hold at most one placed tree alive
+            placed_cache[id(params)] = (params, placed)
+        else:
+            placed = cached[1]
         key = jax.device_put(key, NamedSharding(mesh, P()))
         y = jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS)))
-        return fn(params, key, y)
+        return fn(placed, key, y)
 
     return call

@@ -1,5 +1,6 @@
 """CLI end-to-end smoke tests: train.py → checkpoint → enhance.py.
 
+
 Exercises the full user surface the reference exposes (train CLI with config
 overrides, enhance CLI with RTF/triples outputs) on a tiny geometry.
 """
@@ -10,6 +11,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

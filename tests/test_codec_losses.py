@@ -256,3 +256,83 @@ def test_quantizer_dropout_per_sample(codec_and_params):
     z_full, *_ = codec.apply(params, x[1:], method=codec.encode)
     np.testing.assert_allclose(np.asarray(z_mixed[0]), np.asarray(z_1[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(z_mixed[1]), np.asarray(z_full[0]), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# differentiable PESQ surrogate (losses/pesq_jax.py)
+# --------------------------------------------------------------------------
+
+
+class TestPesqSurrogate:
+    def _loss(self, sr=16000):
+        from flowdec_tpu.losses import PesqSurrogateLoss
+
+        return PesqSurrogateLoss(sampling_rate=sr)
+
+    def _speech_like(self, sr, seconds=1.0, seed=0):
+        rng = np.random.default_rng(seed)
+        n = int(sr * seconds)
+        t = np.arange(n) / sr
+        f0 = 140 + 30 * np.sin(2 * np.pi * 2.5 * t)
+        x = np.zeros(n)
+        ph = 2 * np.pi * np.cumsum(f0) / sr
+        for k in range(1, 12):
+            x += np.sin(k * ph) / k
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t) ** 2
+        x = (x * env + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        return 0.1 * x / np.abs(x).max()
+
+    def test_zero_for_identical(self):
+        loss = self._loss()
+        x = jnp.asarray(self._speech_like(16000)[None])
+        v = float(loss(x, x))
+        assert v < 1e-3, v
+
+    def test_monotone_in_noise(self):
+        loss = self._loss()
+        x = self._speech_like(16000)
+        rng = np.random.default_rng(1)
+        noise = rng.standard_normal(x.shape).astype(np.float32)
+        vals = [float(loss(jnp.asarray((x + a * noise)[None]),
+                           jnp.asarray(x[None])))
+                for a in (0.0, 0.003, 0.01, 0.03)]
+        assert vals[0] < vals[1] < vals[2] < vals[3], vals
+
+    def test_penalizes_additive_more_than_attenuation(self):
+        """PESQ's asymmetry: added noise hurts more than mild spectral loss."""
+        loss = self._loss()
+        x = self._speech_like(16000, seed=2)
+        rng = np.random.default_rng(3)
+        added = x + 0.02 * rng.standard_normal(x.shape).astype(np.float32)
+        # lowpass (remove content) with the same residual energy
+        X = np.fft.rfft(x)
+        X[len(X) // 3:] *= 0.3
+        removed = np.fft.irfft(X, len(x)).astype(np.float32)
+        err_a = np.linalg.norm(added - x)
+        err_r = np.linalg.norm(removed - x)
+        removed = x + (removed - x) * (err_a / err_r)  # match error energy
+        va = float(loss(jnp.asarray(added[None]), jnp.asarray(x[None])))
+        vr = float(loss(jnp.asarray(removed[None]), jnp.asarray(x[None])))
+        assert va > vr, (va, vr)
+
+    def test_differentiable_and_jittable(self):
+        loss = self._loss()
+        x = jnp.asarray(self._speech_like(16000, seed=4)[None])
+        rng = np.random.default_rng(5)
+        y = x + 0.01 * jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+        g = jax.jit(jax.grad(lambda yy: loss(yy, x)))(y)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+    def test_48k_resampling_path(self):
+        loss48 = self._loss(sr=48000)
+        x = self._speech_like(48000, seconds=0.5, seed=6)
+        rng = np.random.default_rng(7)
+        y = x + 0.01 * rng.standard_normal(x.shape).astype(np.float32)
+        clean = float(loss48(jnp.asarray(x[None]), jnp.asarray(x[None])))
+        noisy = float(loss48(jnp.asarray(y[None]), jnp.asarray(x[None])))
+        assert clean < 1e-3 and noisy > clean
+
+    def test_speech_gating_attribute(self):
+        assert tuple(self._loss().only_applies_to) == ("speech",)

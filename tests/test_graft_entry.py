@@ -6,6 +6,9 @@ import os
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,5 +1,6 @@
 """NCSN++ backbone structural/numerical invariants.
 
+
 The reference has no model tests; these encode its implicit contracts:
 complex-in/complex-out shape preservation, the m_idx==len(modules) wiring
 check (here: construction-time skip bookkeeping), parameter count scale, and
@@ -18,6 +19,8 @@ from flowdec_tpu.nn import (
     NCSNpp,
     NCSNppConfig,
 )
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
 
 B, F, T = 1, 768, 64  # small T to keep CPU tests fast (must be mult of 2^levels)
 

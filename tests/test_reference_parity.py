@@ -1,0 +1,384 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+
+These tests run the genuine PyTorch reference (/root/reference) on CPU via
+tests/_reference.py, convert its randomly-initialized state_dict with
+flowdec_tpu.convert, and require the JAX stack to reproduce the reference's
+numbers. This replaces the circular round-trip in test_convert.py as the
+converter's ground truth: it proves the derived `all_modules.{idx}` ordering,
+every tensor-layout transform, and the L0-L4 compute stack (upfirdn FIR
+resampling, resblocks, GroupNorm, attention, Fourier embedding, STFT chain,
+normalize/pad, ODE solvers) against the reference's real code paths
+(/root/reference/flowdec/backbones/ncsnpp.py:102-399, model.py:129-199 +
+:476-536, data/feature_extractors.py, util/other.py).
+
+Everything here is CPU-only and seeds are fixed.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from tests._reference import (
+    cpair_to_torch_complex,
+    install_reference,
+    load_backbone_config,
+    torch_complex_to_cpair,
+)
+
+import jax
+import jax.numpy as jnp
+
+from flowdec_tpu.convert import convert_ncsnpp_state_dict
+from flowdec_tpu.nn import NCSNpp, NCSNppConfig
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _randomized_state_dict(module: torch.nn.Module, seed: int) -> dict:
+    """Randomize every tensor so no transform bug hides behind zeros/ones
+    (the reference zero-inits its output convs via init_scale=0 and GN scale
+    is all-ones — identity values that would mask transposition errors).
+    Keeps each tensor near its original statistics so activations stay sane:
+    new = mean + randn * max(std, 0.05)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    for k, v in module.state_dict().items():
+        v = v.float()
+        std = float(v.std()) if v.numel() > 1 else 0.0
+        sd[k] = float(v.mean()) + torch.randn(v.shape, generator=g) * max(std, 0.05)
+    return sd
+
+
+def _my_config_from_reference(cfg: dict, okw: dict) -> NCSNppConfig:
+    return NCSNppConfig(
+        nonlinearity=cfg["nonlinearity"],
+        nf=cfg["nf"],
+        ch_mult=tuple(cfg["ch_mult"]),
+        num_res_blocks=cfg["num_res_blocks"],
+        attn_resolutions=tuple(cfg["attn_resolutions"]),
+        resamp_with_conv=cfg["resamp_with_conv"],
+        conditional=cfg["conditional"],
+        fir=cfg["fir"],
+        fir_kernel=tuple(float(v) for v in cfg["fir_kernel"]),
+        skip_rescale=cfg["skip_rescale"],
+        resblock_type=cfg["resblock_type"],
+        progressive=cfg["progressive"],
+        progressive_input=cfg["progressive_input"],
+        progressive_combine=cfg["progressive_combine"],
+        init_scale=cfg["init_scale"],
+        fourier_scale=float(cfg["fourier_scale"]),
+        image_size=cfg["image_size"],
+        embedding_type=cfg["embedding_type"],
+        dropout=cfg["dropout"],
+        num_channels=cfg["num_channels"],
+        output_kernel_size=okw["kernel_size"],
+        output_bias=okw["bias"],
+        bottleneck_attn=cfg["bottleneck_attn"],
+    )
+
+
+def _build_reference_backbone(name: str, nf: int | None = None,
+                              attn_resolutions=None, seed: int = 0):
+    """Instantiate the reference NCSNpp from its shipped YAML (optionally
+    width-reduced for CPU speed — nf scales widths only, never the module
+    layout), randomize, and return (ref_module, my_module, converted_params,
+    my_cfg)."""
+    install_reference()
+    import flowdec.backbones.ncsnpp as ref_ncsnpp
+
+    cfg = load_backbone_config(name)
+    if nf is not None:
+        cfg["nf"] = nf
+    if attn_resolutions is not None:
+        cfg["attn_resolutions"] = list(attn_resolutions)
+    okw = cfg.pop("output_layer_kwargs")
+    ref = ref_ncsnpp.NCSNpp(**cfg, output_layer_kwargs=okw)
+    ref.load_state_dict(_randomized_state_dict(ref, seed))
+    ref.eval()
+
+    my_cfg = _my_config_from_reference(cfg, okw)
+    params = convert_ncsnpp_state_dict(
+        {f"backbone.{k}": v for k, v in ref.state_dict().items()}, my_cfg
+    )
+    return ref, NCSNpp(my_cfg), params, my_cfg
+
+
+def _forward_both(ref, mine, params, f: int, t_frames: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, 1, f, t_frames)).astype(np.float32) \
+        + 1j * rng.standard_normal((1, 1, f, t_frames)).astype(np.float32)
+    y = rng.standard_normal((1, 1, f, t_frames)).astype(np.float32) \
+        + 1j * rng.standard_normal((1, 1, f, t_frames)).astype(np.float32)
+    t = np.float32(0.37)
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(y), torch.tensor([t]))
+    out_ref = out_ref.squeeze(1).numpy()  # (1, F, T) complex
+
+    xc = np.stack([x.real, x.imag], axis=-1)[:, 0]  # (1, F, T, 2)
+    yc = np.stack([y.real, y.imag], axis=-1)[:, 0]
+    out_my = mine.apply(params, jnp.asarray(xc), jnp.asarray(yc),
+                        jnp.asarray([t]))
+    out_my = np.asarray(out_my)
+    out_my_c = out_my[..., 0] + 1j * out_my[..., 1]
+    return out_ref, out_my_c
+
+
+def _assert_close(ref: np.ndarray, mine: np.ndarray, tol: float, what: str):
+    scale = float(np.max(np.abs(ref))) or 1.0
+    err = float(np.max(np.abs(ref - mine)))
+    assert err <= tol * scale, (
+        f"{what}: max|Δ|={err:.3e} vs scale {scale:.3e} "
+        f"(rel {err / scale:.3e} > {tol:.0e})"
+    )
+
+
+# --------------------------------------------------------------------------
+# backbone forward parity
+# --------------------------------------------------------------------------
+
+
+def test_backbone_parity_flowdec_final_no_attn_full_width():
+    """The shipped FlowDec backbone config at FULL width (nf=64, ~24M params):
+    converted random-init weights must reproduce the reference forward."""
+    ref, mine, params, _ = _build_reference_backbone("ncsnpp_final_no_attn")
+    out_ref, out_my = _forward_both(ref, mine, params, f=768, t_frames=64)
+    _assert_close(out_ref, out_my, 5e-4, "final_no_attn nf=64 forward")
+
+
+def test_backbone_parity_sgmse_default_ycond():
+    """The shipped SGMSE+/ScoreDec backbone (7 resolutions, bottleneck
+    attention). Width-reduced to nf=32 for CPU runtime; layout is
+    width-independent."""
+    ref, mine, params, _ = _build_reference_backbone("ncsnpp_default_ycond", nf=32)
+    out_ref, out_my = _forward_both(ref, mine, params, f=768, t_frames=64)
+    _assert_close(out_ref, out_my, 5e-4, "default_ycond nf=32 forward")
+
+
+def test_backbone_parity_with_attn_resolutions():
+    """Per-resolution attention blocks (reference ctor default capability,
+    ncsnpp.py:57 — exercised by SGMSE-style configs): attn at down AND up
+    levels, interleaved into the flat module list (attn_index gating,
+    ncsnpp.py:294,335)."""
+    ref, mine, params, _ = _build_reference_backbone(
+        "ncsnpp_default_ycond", nf=16, attn_resolutions=(384, 192), seed=3
+    )
+    out_ref, out_my = _forward_both(ref, mine, params, f=768, t_frames=64)
+    _assert_close(out_ref, out_my, 5e-4, "attn-resolutions forward")
+
+
+def test_backbone_parity_across_t():
+    """Time-embedding path: parity must hold across distinct ODE times."""
+    ref, mine, params, _ = _build_reference_backbone(
+        "ncsnpp_final_no_attn", nf=16, seed=11
+    )
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 1, 768, 64)) +
+         1j * rng.standard_normal((2, 1, 768, 64))).astype(np.complex64)
+    y = (rng.standard_normal((2, 1, 768, 64)) +
+         1j * rng.standard_normal((2, 1, 768, 64))).astype(np.complex64)
+    xc = jnp.asarray(np.stack([x.real, x.imag], -1)[:, 0])
+    yc = jnp.asarray(np.stack([y.real, y.imag], -1)[:, 0])
+    for tval in (0.0, 0.5, 1.0):
+        t = np.full((2,), tval, np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(x), torch.from_numpy(y),
+                          torch.from_numpy(t)).squeeze(1).numpy()
+        out_my = np.asarray(mine.apply(params, xc, yc, jnp.asarray(t)))
+        _assert_close(out_ref, out_my[..., 0] + 1j * out_my[..., 1],
+                      5e-4, f"t={tval} forward")
+
+
+# --------------------------------------------------------------------------
+# model-level parity: preprocess / postprocess / sigma curves / enhance
+# --------------------------------------------------------------------------
+
+FE_KW = dict(n_fft=1534, sampling_rate=48000, alpha=0.3, beta=0.33, n_hops=4)
+
+
+def _build_reference_flow_model(ref_backbone, sigma_x=0.0, sigma_y=0.66):
+    install_reference()
+    import flowdec.data.feature_extractors as ref_fe
+    import flowdec.model as ref_model
+
+    fe = ref_fe.AmplitudeCompressedComplexSTFT(window_fn="hann", **FE_KW)
+    import torchcfm  # stubbed; FlowModel only stores the instance
+
+    m = ref_model.FlowModel(
+        flow_matcher=torchcfm.ConditionalFlowMatcher(sigma=0),
+        sigma_x=sigma_x, sigma_y=sigma_y,
+        backbone=ref_backbone, feature_extractor=fe,
+        sampling_rate=48000, lr=1e-4,
+    )
+    m.eval()
+    return m
+
+
+def _build_my_flow_model(my_backbone_cfg, sigma_x=0.0, sigma_y=0.66):
+    from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, FlowModel
+
+    fex = AmplitudeCompressedComplexSTFT(**FE_KW)
+    return FlowModel(
+        backbone=NCSNpp(my_backbone_cfg), feature_extractor=fex,
+        sampling_rate=48000,
+        sigma_x=jnp.asarray(sigma_x), sigma_y=jnp.asarray(sigma_y),
+    )
+
+
+@pytest.fixture(scope="module")
+def flow_pair():
+    """(reference FlowModel, my FlowModel, converted params) at nf=16 width
+    of the shipped final_no_attn structure with the real 1534-pt STFT chain."""
+    ref_bb, _my_bb, params, my_cfg = _build_reference_backbone(
+        "ncsnpp_final_no_attn", nf=16, seed=5
+    )
+    return _build_reference_flow_model(ref_bb), _build_my_flow_model(my_cfg), params
+
+
+def test_preprocess_parity(flow_pair):
+    """normalize_noisy + ComplexSTFT (1534-pt symmetric hann, hop 384,
+    center, onesided) + |X|^0.3 compression + pad-to-64-frames vs the
+    reference _preprocess (model.py:129-163)."""
+    ref_m, my_m, _ = flow_pair
+    rng = np.random.default_rng(21)
+    y = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((2, 24000)) * 0.2).astype(np.float32)
+
+    # the reference's dataloader always produces (B, 1, T) mono batches
+    # (data_module.py:131-135 downmix); feeding (B, T) would be reinterpreted
+    # as (1, B, T) = one sample with B channels and a JOINT normfac
+    # (model.py:146-149 unsqueezes dim 0)
+    Y_ref, X_ref, info_ref = ref_m._preprocess(torch.from_numpy(y)[:, None],
+                                               x=torch.from_numpy(x)[:, None])
+    Y_my, X_my, info_my = my_m.preprocess(jnp.asarray(y), x=jnp.asarray(x))
+
+    # Elementwise-relative comparison: |X|^0.3 has unbounded slope at
+    # |X|→0, so float-level raw-STFT noise (measured 2.5e-7 relative) is
+    # amplified ~|X|^(α−1)-fold at near-silent bins — absolute comparison
+    # of compressed features is ill-conditioned BY DESIGN of the feature.
+    # Per-element relative error stays ≈ α·(raw relative error) and is the
+    # well-conditioned invariant.
+    def _assert_feat(ref_t, my_a, what):
+        ref_a = torch_complex_to_cpair(ref_t.squeeze(1))
+        my_a = np.asarray(my_a)
+        scale = float(np.max(np.abs(ref_a)))
+        bad = np.abs(ref_a - my_a) > (1e-3 * np.abs(ref_a) + 1e-5 * scale)
+        assert not bad.any(), f"{what}: {bad.sum()} elements out of tolerance"
+
+    _assert_feat(Y_ref, Y_my, "preprocess Y")
+    _assert_feat(X_ref, X_my, "preprocess X")
+    np.testing.assert_allclose(
+        np.asarray(info_my.normfac).ravel(),
+        info_ref["normfac"].numpy().ravel(), rtol=1e-6,
+    )
+
+
+def test_postprocess_parity(flow_pair):
+    """undo-pad + decompress + ISTFT(length=orig) + denormalize vs the
+    reference _postprocess (model.py:165-199), on an arbitrary feature
+    tensor (independent of any ODE)."""
+    ref_m, my_m, _ = flow_pair
+    rng = np.random.default_rng(22)
+    y = (rng.standard_normal((1, 24000)) * 0.3).astype(np.float32)
+
+    _, _, info_ref = ref_m._preprocess(torch.from_numpy(y))
+    Y_my, _, info_my = my_m.preprocess(jnp.asarray(y))
+
+    Xhat = (rng.standard_normal(Y_my.shape) * 0.1).astype(np.float32)
+    out_ref = ref_m._postprocess(
+        cpair_to_torch_complex(Xhat).unsqueeze(1), info_ref
+    ).numpy()
+    out_my = np.asarray(my_m.postprocess(jnp.asarray(Xhat), info_my))
+    _assert_close(out_ref, out_my, 1e-5, "postprocess waveform")
+
+
+def test_sigma_from_file_parity():
+    """Per-band sigma_y loading (gaussian smoothing + factor + broadcast
+    shape) vs reference data/sigma_models/__init__.py:21-48, on the shipped
+    released curve artifacts."""
+    install_reference()
+    import flowdec.data.sigma_models as ref_sigma
+
+    from flowdec_tpu.models import sigma as my_sigma
+
+    for fname in ("flowdec_autoparams_75m.npy", "flowdec_autoparams_25s.npy"):
+        for kw in (dict(), dict(factor=0.9, kernel_bandwidth=3.0)):
+            # absolute path: the reference resolves relative names against
+            # its module dir, we against flowdec_tpu/data — same artifacts
+            ref_curve = ref_sigma.from_file(
+                f"/root/reference/data/{fname}", **kw).numpy()  # (F, 1)
+            my_curve = np.asarray(my_sigma.from_file(fname, **kw))  # (F, 1, 1)
+            np.testing.assert_allclose(
+                my_curve.ravel(), ref_curve.ravel(), rtol=1e-6, atol=0,
+                err_msg=f"{fname} {kw}",
+            )
+
+
+def _enhance_both(flow_pair, *, n_steps, solver, sigma_y=None, seed=31):
+    ref_m, my_m, params = flow_pair
+    if sigma_y is not None:
+        ref_m = _build_reference_flow_model(ref_m.backbone,
+                                            sigma_y=torch.from_numpy(np.asarray(sigma_y)).reshape(-1, 1).float())
+        my_m = my_m.replace(sigma_y=jnp.asarray(sigma_y).reshape(-1, 1, 1))
+
+    rng = np.random.default_rng(seed)
+    y = (rng.standard_normal(24000) * 0.25).astype(np.float32)
+
+    # fixed complex noise injected into BOTH sides (each applies its own
+    # sigma broadcast), replacing torch.randn_like (model.py:530-536)
+    Y_my, _, info_my = my_m.preprocess(jnp.asarray(y))
+    eps = ((rng.standard_normal(Y_my.shape[:3]) +
+            1j * rng.standard_normal(Y_my.shape[:3])) *
+           np.sqrt(0.5)).astype(np.complex64)
+
+    ref_m._get_noise = lambda x, sigma: (
+        sigma * torch.from_numpy(eps).unsqueeze(1)).type(x.dtype)
+    with torch.no_grad():
+        xhat_ref = ref_m.enhance(torch.from_numpy(y), N=n_steps, solver=solver)
+    xhat_ref = xhat_ref.numpy()
+
+    sig = my_m.sigma_y
+    eps_cp = np.stack([eps.real, eps.imag], axis=-1)
+    init = Y_my + sig * jnp.asarray(eps_cp)
+    Xhat = my_m.enhance_features(
+        params, jax.random.PRNGKey(0), Y_my,
+        n_steps=n_steps, solver=solver, init=init,
+    )
+    xhat_my = np.asarray(my_m.postprocess(Xhat, info_my))
+    return xhat_ref, xhat_my
+
+
+@pytest.mark.parametrize("solver,n_steps", [
+    ("midpoint", 2),      # the paper's operating-point solver (N=3 in prod)
+    ("euler", 3),
+    ("heun2_eulerlast", 2),  # runs the reference's OWN solver class via .step
+])
+def test_enhance_parity(flow_pair, solver, n_steps):
+    """Full fixed-noise enhance(): preprocess → N-step ODE over the converted
+    backbone → postprocess must match the reference enhance
+    (model.py:476-529) waveform-for-waveform."""
+    xhat_ref, xhat_my = _enhance_both(flow_pair, n_steps=n_steps, solver=solver)
+    assert xhat_ref.shape == xhat_my.shape
+    _assert_close(xhat_ref, xhat_my, 2e-3, f"enhance {solver} N={n_steps}")
+    denom = float(np.linalg.norm(xhat_ref)) * float(np.linalg.norm(xhat_my))
+    corr = float(np.dot(xhat_ref, xhat_my)) / denom
+    assert corr > 0.99999, f"waveform correlation {corr}"
+
+
+def test_enhance_parity_perband_sigma(flow_pair):
+    """enhance() with the released per-band sigma_y curve: checks the
+    (F,1)-vs-time broadcast semantics of sigma_models curves end-to-end."""
+    install_reference()
+    import flowdec.data.sigma_models as ref_sigma
+
+    curve = ref_sigma.from_file(
+        "/root/reference/data/flowdec_autoparams_75m.npy").numpy().ravel()
+    xhat_ref, xhat_my = _enhance_both(
+        flow_pair, n_steps=2, solver="midpoint", sigma_y=curve, seed=33
+    )
+    _assert_close(xhat_ref, xhat_my, 2e-3, "enhance per-band sigma")

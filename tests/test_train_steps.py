@@ -1,4 +1,5 @@
 """Training-step tests: optimization progress, EMA semantics, frozen params,
+
 and DP-sharded vs single-device equivalence on the virtual 8-device mesh —
 the multi-node-without-a-cluster capability the reference lacks (SURVEY.md §4).
 """
@@ -13,6 +14,8 @@ from flowdec_tpu.nn import NCSNpp, NCSNppConfig
 from flowdec_tpu.parallel import make_mesh, shard_batch
 from flowdec_tpu.train.state import create_train_state, make_optimizer, trainable_mask
 from flowdec_tpu.train.steps import make_eval_step, make_train_step
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
 
 SR = 8000
 LENGTH = 2016  # 1 + 2016/32 = 64 frames

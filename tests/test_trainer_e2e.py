@@ -1,4 +1,5 @@
 """End-to-end training slice: config → model → Trainer.fit on synthesized
+
 WAVs → checkpoints → resume → config-free reload → enhance.
 
 This is the integration test the reference never had (it only ran under
@@ -20,6 +21,8 @@ from flowdec_tpu.train.checkpoints import CheckpointManager, load_model
 from flowdec_tpu.train.logging import JsonlLogger
 from flowdec_tpu.train.state import make_optimizer
 from flowdec_tpu.train.trainer import Trainer, enhance_bucketed
+
+pytestmark = pytest.mark.slow  # full e2e / compile-heavy: nightly tier
 
 SR = 8000
 
