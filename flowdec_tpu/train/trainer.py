@@ -61,10 +61,20 @@ def _jitted_enhance(kwargs_items):
     return fn
 
 
-def enhance_bucketed(model, params, key, y: np.ndarray, **enhance_kwargs):
+def enhance_bucketed(model, params, key, y: np.ndarray, *,
+                     batch_pad_to: int = None, **enhance_kwargs):
     """Enhance a variable-length waveform via shape bucketing: zero-pad the
     tail to the bucket length (few distinct compiled shapes), crop the
-    output back. Runs through a cached jitted enhance."""
+    output back. Runs through a cached jitted enhance.
+
+    Small-batch trough guard (measured, PERF.md batch-scaling curve):
+    aggregate RTF on TPU is NON-monotonic in batch — batches 2-7 fall BELOW
+    single-stream throughput (5.7x vs 9.0x at NFE 6) because XLA/Mosaic
+    picks a bad strategy for intermediate shapes and only flips to the good
+    one at 8. Batches in that trough are zero-row-padded to 8 (silent rows
+    cost the same compile bucket and are cropped away), so no caller can hit
+    the trough. Override with batch_pad_to (0/1 disables, e.g. on CPU where
+    padding only adds work — the default is TPU-only)."""
     y = np.asarray(y, np.float32)
     squeeze = y.ndim == 1
     if squeeze:
@@ -72,9 +82,15 @@ def enhance_bucketed(model, params, key, y: np.ndarray, **enhance_kwargs):
     length = y.shape[-1]
     target = bucket_length(model, length)
     y_pad = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, target - length))])
+    if batch_pad_to is None:
+        batch_pad_to = 8 if jax.default_backend() == "tpu" else 0
+    batch = y_pad.shape[0]
+    pad_rows = batch_pad_to - batch if 1 < batch < batch_pad_to else 0
+    if pad_rows:
+        y_pad = np.pad(y_pad, [(0, pad_rows)] + [(0, 0)] * (y_pad.ndim - 1))
     fn = _jitted_enhance(tuple(sorted(enhance_kwargs.items())))
     x_hat = fn(model, params, key, jnp.asarray(y_pad))
-    x_hat = np.asarray(x_hat)[..., :length]
+    x_hat = np.asarray(x_hat)[:batch, ..., :length]
     return x_hat[0] if squeeze else x_hat
 
 

@@ -255,3 +255,25 @@ def test_learnable_window(batch):
 
     out = model.enhance(params, jax.random.PRNGKey(3), y, n_steps=1)
     assert out.shape == y.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_enhance_bucketed_batch_pad_trough_guard():
+    """Batches 2-7 are padded to 8 when batch_pad_to=8 and the padded rows are
+    cropped: output equals the per-sample unpadded result (silent pad rows
+    can't leak), covering the measured TPU small-batch throughput trough."""
+    from flowdec_tpu.train.trainer import enhance_bucketed
+
+    # sigma_y=0 makes enhance deterministic, so pad-row equivalence is exact
+    # (with noise, jax.random draws are shape-dependent and rows would differ
+    # by design, masking a padding bug)
+    model = _make_flow_model(sigma_y=jnp.asarray(0.0))
+    params = model.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    y = (0.1 * rng.standard_normal((3, LENGTH))).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    out_padded = enhance_bucketed(model, params, key, y,
+                                  batch_pad_to=8, n_steps=1, solver="euler")
+    out_plain = enhance_bucketed(model, params, key, y,
+                                 batch_pad_to=0, n_steps=1, solver="euler")
+    assert out_padded.shape == y.shape
+    np.testing.assert_allclose(out_padded, out_plain, atol=1e-5)
