@@ -147,45 +147,6 @@ class _TembDense(nn.Module):
         )(temb)
 
 
-class _GNParamHolder(nn.Module):
-    """Declares GroupNorm-compatible (scale, bias) without computing — used
-    by the fused GN+SiLU+conv path so the parameter tree stays identical to
-    the unfused nn.GroupNorm module of the same name."""
-
-    ch: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.ch,))
-        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
-        return scale, bias
-
-
-class _ConvParamsInner(nn.Module):
-    features: int
-    init_scale: float = 1.0
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        k = self.param(
-            "kernel", default_init(self.init_scale), (3, 3, in_ch, self.features)
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-class _ConvParamHolder(nn.Module):
-    """Declares Conv3x3-compatible params at path <name>/Conv_0/{kernel,bias}
-    (matching Conv3x3's nested module) without computing."""
-
-    features: int
-    init_scale: float = 1.0
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        return _ConvParamsInner(self.features, self.init_scale, name="Conv_0")(in_ch)
-
-
 class ResnetBlockBigGAN(nn.Module):
     """BigGAN-style residual block with optional fused FIR up/down resampling
     (reference layerspp.py:222-284)."""
@@ -199,8 +160,6 @@ class ResnetBlockBigGAN(nn.Module):
     fir_kernel: Sequence[float] = (1.0, 3.0, 3.0, 1.0)
     skip_rescale: bool = True
     init_scale: float = 0.0
-    fused_gn: bool = False  # Pallas-fused GroupNorm+SiLU (perf knob)
-    fused_gn_conv: bool = False  # Pallas-fused GroupNorm+SiLU+conv3x3 (perf knob)
 
     def _gn_conv(
         self,
@@ -210,57 +169,15 @@ class ResnetBlockBigGAN(nn.Module):
         gn_name: str,
         conv_name: str,
         init_scale: float = 1.0,
-        fuse_ok: bool = True,
     ) -> jax.Array:
-        """act(GN(h)) → conv3x3, fused into one Pallas kernel when enabled and
-        eligible; parameter paths identical to the unfused modules."""
-        import os
-
-        from flowdec_tpu.nn.layers import _ACTS
-
-        # test hook: force the fused path in interpret mode on CPU so the
-        # wiring (param holders, eligibility plumbing) is covered by pytest
-        force = os.environ.get("FLOWDEC_FUSED_GN_CONV_FORCE") == "1"
-        # level gate: only fuse at spatial sizes where the kernel beats XLA
-        # end-to-end (measure per model via FLOWDEC_FUSED_MIN_H)
-        # NOTE: both env vars are captured at TRACE time — after the first
-        # jit trace, changing them in-process has no effect (set before the
-        # first call, or use a fresh process per A/B point)
-        min_h = int(os.environ.get("FLOWDEC_FUSED_MIN_H", "8"))
-        in_ch = h.shape[-1]
-        use_fused = (
-            self.fused_gn_conv
-            and fuse_ok
-            and self.act is _ACTS["swish"]
-            and h.shape[1] >= (8 if force else min_h)
-            and h.shape[2] >= 8
-            and (
-                force
-                or (
-                    jax.default_backend() == "tpu"
-                    and in_ch % 128 == 0
-                    and ch % 128 == 0
-                )
-            )
-        )
-        if not use_fused:
-            hh = group_norm_act(in_ch, self.act, self.fused_gn, name=gn_name)(h)
-            return hh, Conv3x3(ch, init_scale=init_scale, name=conv_name)(hh)
-
-        from flowdec_tpu.ops import gn_act_conv_pallas as gac
-
-        impl = {
-            "v1": gac.gn_silu_conv3x3,
-            "v2": gac.gn_silu_conv3x3_v2,
-        }.get(os.environ.get("FLOWDEC_GN_CONV_IMPL", "v3"),
-              gac.gn_silu_conv3x3_v3)
-        scale, bias = _GNParamHolder(in_ch, name=gn_name)()
-        k, cb = _ConvParamHolder(ch, init_scale, name=conv_name)(in_ch)
-        out = impl(
-            h, scale, bias, k.astype(h.dtype), cb,
-            min(in_ch // 4, 32), 1e-6, force,
-        )
-        return None, out
+        """act(GN(h)) -> conv3x3. NOTE: a Pallas-fused GN+SiLU+conv lived
+        here through round 1 and was DELETED after failing its entry gate —
+        the in-kernel conv rate measured 76 TFLOP/s at batch 8 vs 143 for
+        XLA's conv and 110 for the full XLA GN+SiLU+conv composition
+        (PERF.md "megakernel gate"), so the fusion could never pay for its
+        opaque-boundary cost. Keep compositions transparent to XLA."""
+        hh = group_norm_act(h.shape[-1], self.act, name=gn_name)(h)
+        return hh, Conv3x3(ch, init_scale=init_scale, name=conv_name)(hh)
 
     @nn.compact
     def __call__(
@@ -271,7 +188,7 @@ class ResnetBlockBigGAN(nn.Module):
 
         if self.up or self.down:
             # resampling sits between act(GN) and the conv — not fusable
-            h = group_norm_act(in_ch, self.act, self.fused_gn, name="GroupNorm_0")(x)
+            h = group_norm_act(in_ch, self.act, name="GroupNorm_0")(x)
             if self.up:
                 resize = (
                     (lambda a: upsample_2d(a, self.fir_kernel, factor=2))
@@ -293,7 +210,7 @@ class ResnetBlockBigGAN(nn.Module):
             h = h + _TembDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
         if self.dropout > 0 and train:
             # dropout sits between act(GN_1) and Conv_1 — not fusable
-            hh = group_norm_act(out_ch, self.act, self.fused_gn, name="GroupNorm_1")(h)
+            hh = group_norm_act(out_ch, self.act, name="GroupNorm_1")(h)
             hh = nn.Dropout(self.dropout, deterministic=False)(hh)
             h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(hh)
         else:

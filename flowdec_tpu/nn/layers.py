@@ -67,53 +67,16 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import os
-
         c = x.shape[-1]
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        # NOTE (measured, PERF.md): an optimization_barrier here was tried to
-        # stop XLA emitting f32 producer-conv outputs (7.5 GB HLO temps in the
-        # batch-8×10 s graph). It cost 17% end-to-end AND did not remove the
-        # temps — this runtime pins --xla_allow_excess_precision=true, which
-        # keeps f32 through the barrier. The structural fix is the opaque
-        # Pallas stats pass below (FLOWDEC_GN_STATS=pallas): the producer
-        # materializes in x.dtype once and the normalize consumes the
-        # kernel's aliased passthrough, never the pre-boundary f32 value.
-        force = os.environ.get("FLOWDEC_GN_STATS_FORCE") == "1"
-        n_spatial = 1
-        for d in x.shape[1:-1]:
-            n_spatial *= d
-        if (
-            (force or os.environ.get("FLOWDEC_GN_STATS") == "pallas")
-            and x.ndim >= 3
-            and n_spatial % 8 == 0
-            and (force or jax.default_backend() == "tpu")
-        ):
-            from flowdec_tpu.ops.group_stats_pallas import group_stats_passthrough
-
-            xp, mean_g, inv_g = group_stats_passthrough(
-                x, g, self.epsilon, interpret=force
-            )
-            cg = c // g
-            a = (inv_g[:, :, None] * scale.astype(jnp.float32).reshape(g, cg))
-            b = (
-                bias.astype(jnp.float32).reshape(g, cg)
-                - mean_g[:, :, None] * a
-            )
-            bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-            a = a.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
-            b = b.reshape(x.shape[0], -1).reshape(bshape).astype(x.dtype)
-            return xp * a + b
-
-        # A bf16 bitcast round-trip on the stats input was also tried
-        # (FLOWDEC_GN_STATS=bitcast, removed): measured 8.25× vs 8.96× AND
-        # the batch-16 f32[B,768,T,256] conv temps survived — the
-        # excess-precision chain isn't breakable from the consumer side
-        # without an opaque boundary, and every opaque boundary measured so
-        # far (barrier, Pallas stats, Pallas convs) costs more than it saves.
+        # f32 statistics, input-dtype apply. Consumer-side attempts to stop
+        # XLA's excess-precision f32 producer-conv temps (optimization
+        # barriers, an opaque Pallas stats pass, bf16 bitcast round-trips)
+        # all measured SLOWER end-to-end and are deleted — see PERF.md
+        # "GN stats interventions" scorecard and the megakernel gate.
         xg = x.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
@@ -137,31 +100,6 @@ def group_norm(ch: int, name: str | None = None, dtype=None) -> GroupNorm:
     return GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
 
 
-class _Conv3x3Kernel(nn.Module):
-    """Stride-1 3×3 conv with nn.Conv-compatible params (kernel, bias) that
-    dispatches through ops.conv3x3_pallas.conv3x3 — the Pallas halo-DMA
-    kernel on TPU for MXU-sized channel counts (measured 26% faster than
-    XLA's conv at the U-Net's level-0 shape), XLA everywhere else."""
-
-    features: int
-    init_scale: float = 1.0
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from flowdec_tpu.ops.conv3x3_pallas import conv3x3
-
-        k = self.param(
-            "kernel", default_init(self.init_scale), (3, 3, x.shape[-1], self.features)
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.features,))
-            if self.use_bias
-            else None
-        )
-        return conv3x3(x, k.astype(x.dtype), b)
-
-
 class Conv3x3(nn.Module):
     """3×3 same-padding conv with DDPM init and zero-init bias
     (reference layers.py:128-136)."""
@@ -173,11 +111,9 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.stride == 1:
-            # param path stays Conv_0/{kernel,bias} — checkpoint-identical
-            return _Conv3x3Kernel(
-                self.features, self.init_scale, self.use_bias, name="Conv_0"
-            )(x)
+        # (a Pallas halo-DMA conv3x3 dispatched here through round 1;
+        # deleted after losing end-to-end — PERF.md. XLA's conv wins at every
+        # measured shape once fusion barriers are accounted for.)
         return nn.Conv(
             self.features,
             (3, 3),
@@ -186,6 +122,7 @@ class Conv3x3(nn.Module):
             use_bias=self.use_bias,
             kernel_init=default_init(self.init_scale),
             bias_init=nn.initializers.zeros,
+            name="Conv_0",
         )(x)
 
 
@@ -261,33 +198,9 @@ def positional_time_embedding(
     return emb
 
 
-class FusedGroupNormSiLU(nn.Module):
-    """GroupNorm + SiLU via the fused Pallas kernel (ops/groupnorm_pallas).
-
-    Parameter names (scale, bias) match nn.GroupNorm so checkpoints are
-    interchangeable with the unfused path.
-    """
-
-    num_groups: int
-    epsilon: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from flowdec_tpu.ops.groupnorm_pallas import fused_group_norm_silu
-
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        return fused_group_norm_silu(x, scale, bias, self.num_groups, self.epsilon)
-
-
-def group_norm_act(ch: int, act, fused: bool, name: str | None = None):
-    """act(GroupNorm(x)) — fused Pallas path when `fused` and act is SiLU.
-
-    The unfused path casts the GN output back to the input dtype: flax
-    GroupNorm computes statistics in f32 and returns the promoted dtype, which
-    silently upgraded every downstream conv to f32 in bf16 inference (measured:
+def group_norm_act(ch: int, act, name: str | None = None):
+    """act(GroupNorm(x)), cast back to the input dtype: flax GroupNorm
+    computes statistics in f32 and returns the promoted dtype, which silently
+    upgraded every downstream conv to f32 in bf16 inference (measured:
     188/202 convs f32 before this cast)."""
-    if fused and act in (_ACTS["swish"],):
-        return FusedGroupNormSiLU(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
     return lambda x: act(group_norm(ch, name=name, dtype=x.dtype)(x).astype(x.dtype))

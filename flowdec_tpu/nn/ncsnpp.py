@@ -91,10 +91,6 @@ class NCSNppConfig:
     # required to train the 75M model at batch 8 × 2 s crops in one chip's
     # HBM. No effect on inference-only jits.
     remat: bool = False
-    # Pallas-fused GroupNorm+SiLU (perf knob; only active with swish)
-    fused_groupnorm: bool = False
-    # Pallas-fused GroupNorm+SiLU+conv3x3 (perf knob; TPU + swish + C%128==0)
-    fused_gn_conv: bool = False
     # Run the U-Net over (time, freq) instead of (freq, time) images: two
     # cheap 4-channel transposes at entry/exit put the 768-bin frequency
     # axis in the second-minor (sublane) position, where it space-blocks
@@ -168,8 +164,6 @@ class NCSNpp(nn.Module):
         if cfg.resblock_type == "biggan":
             common.update(
                 fir=cfg.fir, fir_kernel=cfg.fir_kernel,
-                fused_gn=cfg.fused_groupnorm,
-                fused_gn_conv=cfg.fused_gn_conv,
             )
 
         if t.ndim == 0:
@@ -296,7 +290,7 @@ class NCSNpp(nn.Module):
                 if i_level == num_resolutions - 1:
                     if cfg.progressive == "output_skip":
                         pyramid = group_norm_act(
-                            h.shape[-1], act, cfg.fused_groupnorm,
+                            h.shape[-1], act,
                             name=f"up_{i_level}_pyramid_norm",
                         )(h)
                         pyramid = Conv3x3(
@@ -306,7 +300,7 @@ class NCSNpp(nn.Module):
                         )(pyramid)
                     else:  # residual
                         pyramid = group_norm_act(
-                            h.shape[-1], act, cfg.fused_groupnorm,
+                            h.shape[-1], act,
                             name=f"up_{i_level}_pyramid_norm",
                         )(h)
                         pyramid = Conv3x3(
@@ -321,7 +315,7 @@ class NCSNpp(nn.Module):
                             name=f"up_{i_level}_pyramid_upsample",
                         )(pyramid)
                         pyramid_h = group_norm_act(
-                            h.shape[-1], act, cfg.fused_groupnorm,
+                            h.shape[-1], act,
                             name=f"up_{i_level}_pyramid_norm",
                         )(h)
                         pyramid_h = Conv3x3(

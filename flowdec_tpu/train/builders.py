@@ -66,8 +66,6 @@ def build_backbone(
     num_channels: int = 4,
     output_layer_kwargs: Optional[Dict[str, Any]] = None,
     remat: bool = True,
-    fused_groupnorm: bool = False,
-    fused_gn_conv: bool = False,
     transpose_image: bool = False,
 ) -> NCSNpp:
     """NCSN++ from the reference's YAML schema (ncsnpp_*.yaml keys)."""
@@ -101,8 +99,6 @@ def build_backbone(
         output_bias=bool(out_kw["bias"]),
         bottleneck_attn=bottleneck_attn,
         remat=remat,
-        fused_groupnorm=fused_groupnorm,
-        fused_gn_conv=fused_gn_conv,
         transpose_image=transpose_image,
     )
     return NCSNpp(cfg)

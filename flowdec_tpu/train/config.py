@@ -35,6 +35,7 @@ __all__ = [
 DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 _INTERP_RE = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+_INTERP_SUB_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
 
 
 def merge(base: Dict, extra: Dict) -> Dict:
@@ -136,8 +137,15 @@ def resolve_interpolations(cfg: Dict) -> Dict:
             return [walk(v) for v in node]
         if isinstance(node, str):
             m = _INTERP_RE.match(node)
-            if m:
+            if m:  # whole-string: may resolve to any node type
                 return walk(_lookup(cfg, m.group(1)))
+            # embedded interpolation inside a longer string (OmegaConf
+            # semantics, e.g. "${corpus_dir}/train_pairs.txt"): substitute
+            # each reference's scalar value textually
+            if "${" in node:
+                return _INTERP_SUB_RE.sub(
+                    lambda mm: str(walk(_lookup(cfg, mm.group(1)))), node
+                )
             return node
         return node
 

@@ -1,10 +1,20 @@
 """Isolated kernel microbenchmarks on the real TPU.
 
-Times the fused GN+SiLU+conv3x3 Pallas kernels (v1 two-phase, v2
-stats-in-XLA double-buffered) against the plain XLA composition at the
-U-Net's hot shapes. Steady-state best-of-rounds, like bench.py.
+Times the raw conv3x3 and the XLA GN+SiLU+conv composition at the U-Net's
+hot shapes with a result-cache-proof harness (see timeit). Steady-state
+best-of-rounds, like bench.py.
 
-    python scripts/bench_kernels.py --shape 1,768,640,256,256
+This file was the ENTRY GATE for the round-2 "stats-carrying resblock
+megakernel": the Pallas GN+SiLU+conv kernels (v1 serial-DMA, v2
+double-buffered, v3 wide-N) had to match XLA's in-graph conv rate to be
+viable. Measured at (8,768,640,256,256) bf16 on v5e: raw conv 142.7 TFLOP/s,
+XLA GN+SiLU+conv 109.8, Pallas v3 76.4 — the in-kernel Mosaic matmul rate is
+~2x below the bar, so ALL Pallas resblock kernels were deleted (PERF.md
+"megakernel gate"). Law, now 5 datapoints strong: on this stack, an opaque
+kernel boundary inside the XLA enhance graph always loses unless its
+in-kernel compute rate matches XLA's — and it doesn't.
+
+    python scripts/bench_kernels.py --shape 8,768,640,256,256 --impls conv,xla
 """
 
 from __future__ import annotations
@@ -20,12 +30,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowdec_tpu.ops.gn_act_conv_pallas import (  # noqa: E402
-    gn_silu_conv3x3,
-    gn_silu_conv3x3_v2,
-    gn_silu_conv3x3_v3,
-    gn_silu_conv3x3_reference,
-)
+
+
+
+def gn_silu_conv3x3_xla(x, gn_scale, gn_bias, w, b, num_groups, eps=1e-6):
+    """Plain XLA composition: fast-variance GroupNorm + SiLU + SAME conv3x3
+    (what the backbone actually runs; matches nn/layers.py GroupNorm)."""
+    bsz, h, width, c = x.shape
+    cg = c // num_groups
+    xg = x.reshape(bsz, h * width, num_groups, cg)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    norm = ((xg - mean.astype(x.dtype)) * inv.astype(x.dtype)).reshape(bsz, h, width, c)
+    y = norm * gn_scale.astype(x.dtype) + gn_bias.astype(x.dtype)
+    y = y * jax.nn.sigmoid(y)
+    out = jax.lax.conv_general_dilated(
+        y, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + b.astype(out.dtype)
 
 
 def timeit(fn, args, iters=20, rounds=3):
@@ -72,7 +97,7 @@ def main():
                    help="B,H,W,Cin,Cout")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--groups", type=int, default=32)
-    p.add_argument("--impls", default="xla,v1,v2")
+    p.add_argument("--impls", default="conv,xla")
     args = p.parse_args()
 
     b, h, w_, ci, co = (int(v) for v in args.shape.split(","))
@@ -96,10 +121,7 @@ def main():
 
     impls = {
         "conv": jax.jit(conv_only),
-        "xla": jax.jit(lambda *a: gn_silu_conv3x3_reference(*a, args.groups)),
-        "v1": jax.jit(lambda *a: gn_silu_conv3x3(*a, args.groups)),
-        "v2": jax.jit(lambda *a: gn_silu_conv3x3_v2(*a, args.groups)),
-        "v3": jax.jit(lambda *a: gn_silu_conv3x3_v3(*a, args.groups)),
+        "xla": jax.jit(lambda *a: gn_silu_conv3x3_xla(*a, args.groups)),
     }
     ref = None
     for name in args.impls.split(","):

@@ -5,7 +5,6 @@ Companion to the headline `bench.py`: same measurement methodology
 CLI flag so optimization experiments are reproducible one-liners:
 
     python scripts/bench_rtf.py --seconds 5 --batch 1 --dtype bfloat16 \
-        --fused-gn-conv            # Pallas GN+SiLU+conv3x3 fusion
     python scripts/bench_rtf.py --pipeline --batch 8   # codec+postfilter
 
 Prints one JSON line per run (same schema as bench.py).
@@ -34,8 +33,6 @@ def build_model_variant(args):
 
     cfg = dataclasses.replace(
         FLOWDEC_FINAL_NO_ATTN,
-        fused_groupnorm=args.fused_gn,
-        fused_gn_conv=args.fused_gn_conv,
         # getattr: callers like profile_rtf reuse this with a smaller argparse
         transpose_image=getattr(args, "transpose", False),
     )
@@ -61,22 +58,14 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--rounds", type=int, default=3)
-    p.add_argument("--fused-gn", action="store_true")
-    p.add_argument("--fused-gn-conv", action="store_true")
     p.add_argument("--transpose", action="store_true",
                    help="(time, freq) image orientation (NCSNppConfig.transpose_image)")
-    p.add_argument("--gn-stats", choices=["pallas"], default=None,
-                   help="GroupNorm stats variant (sets FLOWDEC_GN_STATS)")
     p.add_argument("--pipeline", action="store_true",
                    help="full codec-decode + postfilter pipeline")
     p.add_argument("--compile-only", action="store_true",
                    help="trace+compile+run once, skip timing (sanity/warm cache)")
     args = p.parse_args()
 
-    if args.gn_stats:
-        import os
-
-        os.environ["FLOWDEC_GN_STATS"] = args.gn_stats
     model = build_model_variant(args)
     params = model.init_params(jax.random.PRNGKey(0), frames=256)
 
@@ -102,14 +91,8 @@ def main():
              rounds=args.rounds)
     tag = "pipeline" if args.pipeline else "enhance"
     knobs = []
-    if args.fused_gn_conv:
-        knobs.append("gnconv")
-    if args.fused_gn:
-        knobs.append("gnfused")
     if args.transpose:
         knobs.append("tf")
-    if args.gn_stats:
-        knobs.append(f"gnstats_{args.gn_stats}")
     name = "_".join(
         [f"flowdec75m_{tag}_rtf", args.dtype, f"b{args.batch}",
          f"{args.seconds:g}s", f"n{args.n_steps}{args.solver}"] + knobs)
