@@ -86,6 +86,7 @@ def test_bitrate_control(codec_and_params):
     np.testing.assert_array_equal(np.asarray(codes_full[:, 0]), np.asarray(codes_2[:, 0]))
 
 
+@pytest.mark.slow
 def test_codec_training_grads(codec_and_params):
     codec, params = codec_and_params
     rng = np.random.default_rng(3)
@@ -175,6 +176,7 @@ def test_pesq_loss_gated():
         TorchPESQSpeechLoss(SR)  # torch_pesq not installed in this image
 
 
+@pytest.mark.slow
 def test_codec_train_step(codec_and_params):
     """One jitted codec training step improves the reconstruction mix."""
     import optax
@@ -204,6 +206,7 @@ def test_codec_train_step(codec_and_params):
     assert recons[-1] < recons[0], f"codec not learning: {recons[0]} -> {recons[-1]}"
 
 
+@pytest.mark.slow
 def test_flow_finetune_loss():
     """Aux finetuning losses on the one-step reconstruction (restored stripped
     capability) produce finite grads and respect the speech mask."""
@@ -243,6 +246,7 @@ def test_flow_finetune_loss():
     assert np.isfinite(gsum) and gsum > 0
 
 
+@pytest.mark.slow
 def test_quantizer_dropout_per_sample(codec_and_params):
     """Per-sample nq masking (DAC quantizer dropout): a sample with nq=1 must
     see only stage-0 output; a sample with full nq gets the full stack."""

@@ -100,6 +100,7 @@ def _reverse_map(params, cfg) -> dict:
 
 
 @pytest.mark.parametrize("cfg", [FLOWDEC_LIKE, SGMSE_LIKE], ids=["flowdec", "sgmse"])
+@pytest.mark.slow
 def test_roundtrip_exact(cfg):
     model = NCSNpp(cfg)
     f = cfg.image_size

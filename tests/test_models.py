@@ -149,6 +149,7 @@ def test_flow_per_band_sigma(batch):
     assert x_hat.shape == batch[1].shape
 
 
+@pytest.mark.slow
 def test_flow_jit_enhance(flow_model_and_params, batch):
     model, params = flow_model_and_params
     _, y = batch
@@ -160,6 +161,7 @@ def test_flow_jit_enhance(flow_model_and_params, batch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_score_model(batch):
     model = ScoreModel(
         backbone=NCSNpp(TINY_BACKBONE),
@@ -219,6 +221,7 @@ def test_bf16_enhance_close_to_f32(flow_model_and_params, batch):
     assert rel < 0.1, f"bf16 diverges from f32: rel={rel}"
 
 
+@pytest.mark.slow
 def test_learnable_window(batch):
     """learnable_window=True puts the STFT window in params; gradients reach
     it through the finetune path's differentiable ISTFT (reference
@@ -257,6 +260,7 @@ def test_learnable_window(batch):
     assert out.shape == y.shape and np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_enhance_bucketed_batch_pad_trough_guard():
     """Batches 2-7 are padded to 8 when batch_pad_to=8 and the padded rows are
     cropped: output equals the per-sample unpadded result (silent pad rows

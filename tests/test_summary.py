@@ -1,5 +1,6 @@
 """Model-summary utility (parity: torchinfo.summary at startup, train.py:79)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def test_model_summary_groups_and_total():
     assert "Conv_0" in s and "Dense_0" in s
 
 
+@pytest.mark.slow
 def test_model_summary_real_backbone():
     from flowdec_tpu.nn import NCSNpp, NCSNppConfig
 
