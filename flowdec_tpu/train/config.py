@@ -50,9 +50,33 @@ def merge(base: Dict, extra: Dict) -> Dict:
     return out
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader + YAML 1.2 float resolution.
+
+    PyYAML implements YAML 1.1, where `1e-4` (no dot, no explicit sign-free
+    exponent form) resolves to a STRING — so `eps: 1e-8` silently reached
+    optax as "1e-8" and the first real train.py campaign crashed inside
+    Adam's update (TypeError: Tracer + str). Hydra/OmegaConf parse YAML 1.2
+    where these are floats; match that."""
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+            |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+            |\.[0-9_]+(?:[eE][-+][0-9]+)?
+            |[-+]?\.(?:inf|Inf|INF)
+            |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def _load_yaml(path: str) -> Dict:
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_Yaml12Loader)
     return data or {}
 
 

@@ -95,3 +95,21 @@ def test_all_model_defaults_composes():
         DEFAULT_CONFIG_DIR,
     )
     assert "eval_variants" in cfg and "eval_metrics" in cfg
+
+
+def test_yaml12_scientific_notation_floats():
+    """PyYAML is YAML 1.1 where `1e-4` is a STRING; our loader must resolve
+    YAML 1.2 floats (the shipped configs write lr: 1e-4, eps: 1e-8 — a
+    string eps crashed Adam's update in the first real campaign)."""
+    import tempfile, os
+    from flowdec_tpu.train.config import _load_yaml
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.yaml")
+        with open(p, "w") as f:
+            f.write("a: 1e-4\nb: 1.5e+3\nc: 2e8\nd: keep1e-4me\ne: 1.0e-8\n")
+        d = _load_yaml(p)
+    assert d["a"] == 1e-4 and isinstance(d["a"], float)
+    assert d["b"] == 1500.0 and d["c"] == 2e8
+    assert d["d"] == "keep1e-4me"
+    assert d["e"] == 1e-8
