@@ -275,18 +275,31 @@ class PESQ(Metric):
 
 
 class ESTOI(Metric):
-    """Extended STOI via `pystoi` (does its own resampling)."""
+    """Extended STOI — native implementation (eval/estoi.py), with `pystoi`
+    as the preferred backend when installed (backend='auto'). The reference
+    can ONLY use pystoi and degrades to NaN without it (metrics.py:18)."""
 
     names = ["estoi"]
 
-    def __init__(self, sr):
+    def __init__(self, sr, backend: str = "auto"):
         super().__init__(sr)
-        from pystoi import stoi as calc_stoi  # gated import
+        self._calc = None
+        if backend in ("auto", "pystoi"):
+            try:
+                from pystoi import stoi as calc_stoi
 
-        self._calc = calc_stoi
+                self._calc = calc_stoi
+            except ImportError:
+                if backend == "pystoi":
+                    raise
 
     def __call__(self, x_hat, x, y=None, name=None):
-        return self._calc(_flatten(x), _flatten(x_hat), self.sr, extended=True)
+        if self._calc is not None:
+            return self._calc(_flatten(x), _flatten(x_hat), self.sr,
+                              extended=True)
+        from flowdec_tpu.eval.estoi import estoi_np
+
+        return estoi_np(_flatten(x), _flatten(x_hat), self.sr)
 
 
 class DNSMOS(Metric):

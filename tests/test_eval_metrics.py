@@ -157,9 +157,14 @@ def test_gated_metrics_raise_cleanly():
     errors when their runtime is absent (then degrade to NaN rows upstream)."""
     from flowdec_tpu.eval.metrics import DNSMOS, ESTOI, PESQ, SIGMOS
 
-    for cls in (PESQ, ESTOI, DNSMOS, SIGMOS):
+    for cls in (PESQ, DNSMOS, SIGMOS):
         with pytest.raises(Exception):
             cls(SR)
+    # ESTOI now has a native backend and must CONSTRUCT without pystoi;
+    # backend='pystoi' still raises cleanly when the package is absent
+    ESTOI(SR)
+    with pytest.raises(ImportError):
+        ESTOI(SR, backend="pystoi")
 
 
 # ---------------------------------------------------------------------------
@@ -293,3 +298,53 @@ def test_visqol_subprocess_with_fake_binary(audio, tmp_path):
     m_bad = ViSQOL(SR, mode="audio", backend="subprocess", binary_path=str(bad))
     row = get_metrics_row([m_bad], "music_0.wav", x_hat, x, y)
     assert np.isnan(row[m_bad.names[0]])
+
+
+# ---------------------------------------------------------------------------
+# Native ESTOI (eval/estoi.py) — produces real numbers without pystoi
+# ---------------------------------------------------------------------------
+
+
+def _speechy(sr=10000, seconds=1.2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    f0 = 120 + 40 * np.sin(2 * np.pi * 3 * t)
+    ph = 2 * np.pi * np.cumsum(f0) / sr
+    x = sum(np.sin(k * ph) / k for k in range(1, 10))
+    env = 0.4 + 0.6 * np.sin(2 * np.pi * 3.5 * t) ** 2
+    return (x * env + 0.01 * rng.standard_normal(n)).astype(np.float64)
+
+
+class TestNativeESTOI:
+    def test_identical_is_one(self):
+        from flowdec_tpu.eval.estoi import estoi_np
+
+        x = _speechy()
+        assert estoi_np(x, x, 10000) == pytest.approx(1.0, abs=1e-6)
+
+    def test_monotone_in_noise(self):
+        from flowdec_tpu.eval.estoi import estoi_np
+
+        x = _speechy(seed=1)
+        rng = np.random.default_rng(2)
+        noise = rng.standard_normal(x.shape)
+        scores = [estoi_np(x, x + a * noise, 10000)
+                  for a in (0.0, 0.05, 0.2, 0.8)]
+        assert scores[0] > scores[1] > scores[2] > scores[3], scores
+        assert scores[-1] < 0.5
+
+    def test_resampling_from_48k(self):
+        from flowdec_tpu.eval.estoi import estoi_np
+
+        x = _speechy(sr=48000, seconds=1.0, seed=3)
+        s = estoi_np(x, x, 48000)
+        assert s == pytest.approx(1.0, abs=1e-4)
+
+    def test_metric_wrapper_native_backend(self, audio):
+        x_hat, x, y = audio
+        m = ESTOI_cls = __import__("flowdec_tpu.eval.metrics",
+                                   fromlist=["ESTOI"]).ESTOI
+        metric = ESTOI_cls(SR)  # pystoi absent → native backend
+        row = get_metrics_row([metric], "speech_0.wav", x_hat, x, y)
+        assert np.isfinite(row["estoi"]) and -1.0 <= row["estoi"] <= 1.0
