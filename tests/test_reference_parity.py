@@ -382,3 +382,114 @@ def test_enhance_parity_perband_sigma(flow_pair):
         flow_pair, n_steps=2, solver="midpoint", sigma_y=curve, seed=33
     )
     _assert_close(xhat_ref, xhat_my, 2e-3, "enhance per-band sigma")
+
+
+# --------------------------------------------------------------------------
+# training-loss parity
+# --------------------------------------------------------------------------
+
+
+class _FaithfulCFM:
+    """Spec-faithful stand-in for torchcfm.ConditionalFlowMatcher restricted
+    to the one call the reference makes (model.py:433): OT-CFM of Tong et al.
+    2023 with constant sigma — mu_t=(1-t)·x0+t·x1, xt=mu_t+sigma·eps,
+    ut=x1-x0. Like the real package, eps is drawn via torch.randn_like even
+    when sigma==0 (FlowDec ships sigma=0, flow_model_final.yaml:19-21), which
+    keeps the torch RNG call sequence identical to the real dependency."""
+
+    def __init__(self, sigma=0.0):
+        self.sigma = sigma
+
+    def sample_location_and_conditional_flow(self, x0, x1, t=None):
+        if t is None:  # the reference always passes t (model.py:428-433)
+            t = torch.rand(x0.shape[0], device=x0.device)
+        tb = t.reshape(t.shape + (1,) * (x0.dim() - 1))
+        eps = torch.randn_like(x0)
+        xt = (1 - tb) * x0 + tb * x1 + self.sigma * eps
+        ut = x1 - x0
+        return t, xt, ut
+
+
+def _loss_both(flow_pair, *, sigma_y=None, nan_sample=None, seed=41):
+    """Run my FlowModel.loss and the reference FlowModel._loss
+    (model.py:421-468) on the same waveform batch with IDENTICAL random
+    draws: t and the two feature-noise tensors are generated from my loss's
+    documented PRNG split order (flow_model.py:62-66: k_t, k_y, k_x, ...),
+    then injected into the torch side by patching torch.rand/randn_like."""
+    from flowdec_tpu.ops.cpair import crandn_like
+
+    ref_m, my_m, params = flow_pair
+    if sigma_y is not None:
+        ref_m = _build_reference_flow_model(
+            ref_m.backbone,
+            sigma_y=torch.from_numpy(np.asarray(sigma_y)).reshape(-1, 1).float())
+        my_m = my_m.replace(sigma_y=jnp.asarray(sigma_y).reshape(-1, 1, 1))
+
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((2, 24000)) * 0.2).astype(np.float32)
+    y = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+    if nan_sample is not None:
+        x[nan_sample, 1000:1010] = np.nan
+
+    key = jax.random.PRNGKey(9)
+    my_loss, aux = my_m.loss(params, key, (jnp.asarray(x), jnp.asarray(y)),
+                             train=False)
+
+    # Re-derive the randomness my loss consumed, for injection into torch.
+    k_t, k_y, k_x, _, _ = jax.random.split(key, 5)
+    t = np.asarray(jax.random.uniform(k_t, (2,)), np.float32)
+    Ymu, Xmu, _ = my_m.preprocess(jnp.asarray(y), x=jnp.asarray(x))
+    eps_q = [  # consumed in reference order: Ys noise, then Xs noise
+        cpair_to_torch_complex(np.asarray(crandn_like(k_y, Ymu))).unsqueeze(1),
+        cpair_to_torch_complex(np.asarray(crandn_like(k_x, Xmu))).unsqueeze(1),
+    ]
+
+    # The reference _loss reads self.error_weighting which its ctor never
+    # initializes (model.py:439 — AttributeError on any real step, SURVEY
+    # quirk list); None-ing it is the documented intent.
+    ref_m.error_weighting = None
+    ref_m.flow_matcher = _FaithfulCFM(sigma=0.0)
+
+    real_rand, real_randn_like = torch.rand, torch.randn_like
+    try:
+        torch.rand = lambda *a, **k: torch.from_numpy(t)
+        torch.randn_like = lambda x_, **k: (
+            eps_q.pop(0).type(x_.dtype) if eps_q else torch.zeros_like(x_))
+        with torch.no_grad():
+            ref_loss = ref_m._loss(
+                (torch.from_numpy(x)[:, None], torch.from_numpy(y)[:, None],
+                 ["a.wav", "b.wav"]), 0, "train")
+    finally:
+        torch.rand, torch.randn_like = real_rand, real_randn_like
+    return float(ref_loss), float(my_loss), aux
+
+
+def test_training_loss_parity(flow_pair):
+    """The CFM training loss (bridge-noise injection, OT-CFM location/target,
+    complex squared error, per-sample mean-of-means) reproduces the reference
+    _loss value on identical draws."""
+    ref_loss, my_loss, aux = _loss_both(flow_pair)
+    assert aux["n_nan"] == 0
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=2e-3)
+
+
+def test_training_loss_parity_perband_sigma(flow_pair):
+    """Loss parity with the released per-band sigma_y curve (checks the
+    (F,1)-broadcast of per-band bridge noise inside the loss)."""
+    install_reference()
+    import flowdec.data.sigma_models as ref_sigma
+
+    curve = ref_sigma.from_file(
+        "/root/reference/data/flowdec_autoparams_75m.npy").numpy().ravel()
+    ref_loss, my_loss, _ = _loss_both(flow_pair, sigma_y=curve, seed=43)
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=2e-3)
+
+
+def test_training_loss_parity_nan_sample(flow_pair):
+    """NaN-robustness parity: the reference drops NaN samples from the batch
+    mean (model.py:447-464); my jit-safe masked mean must produce the same
+    value (the surviving sample's loss) on the same draws."""
+    ref_loss, my_loss, aux = _loss_both(flow_pair, nan_sample=0, seed=47)
+    assert aux["n_nan"] == 1
+    assert np.isfinite(ref_loss) and np.isfinite(my_loss)
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=2e-3)
