@@ -117,6 +117,7 @@ class Trainer:
         crop_frames: int = 256,
         aux_losses: Optional[List] = None,
         aux_weight: float = 1.0,
+        hang_timeout: float = 0.0,
     ):
         self.model = model
         self.datamodule = datamodule
@@ -141,6 +142,10 @@ class Trainer:
         self.seed = seed
         self.crop_frames = crop_frames
         self.current_epoch = 0
+        # hang_timeout > 0 arms a HangWatchdog over the train loop: stack
+        # dump + exit(113) when a device call wedges (see train/watchdog.py
+        # for the observed failure mode this answers). 0 = disabled.
+        self.hang_timeout = float(hang_timeout)
 
         if mesh == "auto":
             mesh = make_mesh()
@@ -308,6 +313,17 @@ class Trainer:
 
         from flowdec_tpu.eval.metrics import get_audiotype_from_basename
 
+        # Failure detection (watchdog.py): a wedged device call must turn
+        # into a nonzero exit the supervisor can requeue, not a silent stall.
+        from contextlib import nullcontext
+
+        from flowdec_tpu.train.watchdog import HangWatchdog
+
+        watchdog = (
+            HangWatchdog(timeout=self.hang_timeout).start()
+            if self.hang_timeout > 0 else None
+        )
+
         t_last = time.perf_counter()
         while step < self.max_steps and not preempted["flag"]:
             for x, y, names in loader.epoch(self.current_epoch):
@@ -331,6 +347,10 @@ class Trainer:
 
                 if step % self.log_every == 0:
                     loss = float(metrics["train_loss"])
+                    # float() above synced the device — the step really
+                    # finished, so this is an honest heartbeat.
+                    if watchdog is not None:
+                        watchdog.beat()
                     if np.isnan(loss):
                         raise ValueError(
                             f"Whole batch at step {step} led to NaN loss values! "
@@ -351,7 +371,11 @@ class Trainer:
                     )
 
                 if self.val_every and step % self.val_every == 0:
-                    val_metrics = self.validate(state, step)
+                    # validation compiles/runs many distinct graphs — exempt
+                    # it from the steady-state step timeout
+                    with (watchdog.suspended() if watchdog is not None
+                          else nullcontext()):
+                        val_metrics = self.validate(state, step)
                     log.info(f"step {step}: {val_metrics}")
                     self._log(val_metrics, step)
 
@@ -359,6 +383,8 @@ class Trainer:
                     self.ckpt.maybe_save(state)
             self.current_epoch += 1
 
+        if watchdog is not None:
+            watchdog.stop()
         if self.ckpt is not None and is_primary_host():
             self.ckpt.maybe_save(state, force=True)
             self.ckpt.wait()

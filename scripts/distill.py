@@ -44,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--ckpt-every", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--hang-timeout", type=float, default=900.0,
+                        help="exit(113) with a stack dump if no step "
+                             "completes for this many seconds (0=off); see "
+                             "train/watchdog.py")
     args = parser.parse_args(argv)
 
     import jax
@@ -98,6 +102,10 @@ def main(argv=None):
     step = int(state.step)
     t_last = time.perf_counter()
     epoch = 0
+    from flowdec_tpu.train.watchdog import HangWatchdog
+
+    watchdog = (HangWatchdog(timeout=args.hang_timeout).start()
+                if args.hang_timeout > 0 else None)
     while step < args.steps:
         for _x, y, _names in loader.epoch(epoch):
             if step >= args.steps:
@@ -117,8 +125,12 @@ def main(argv=None):
                     f"step {step}: distill_loss={float(metrics['distill_loss']):.5f} "
                     f"grad_norm={float(metrics['grad_norm']):.3f} ({sps:.2f} steps/s)"
                 )
+                if watchdog is not None:  # float() above synced the device
+                    watchdog.beat()
             ckpt.maybe_save(state)
         epoch += 1
+    if watchdog is not None:
+        watchdog.stop()
 
     ckpt.maybe_save(state, force=True)
     ckpt.close()

@@ -117,6 +117,7 @@ def main(argv=None):
         crop_frames=crop_frames,
         aux_losses=instantiate(cfg.get("aux_losses", [])) or None,
         aux_weight=float(cfg.get("aux_loss_weight", 1.0)),
+        hang_timeout=float(topts.get("hang_timeout", 900.0)),
     )
 
     init_params = None
