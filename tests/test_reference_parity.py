@@ -493,3 +493,386 @@ def test_training_loss_parity_nan_sample(flow_pair):
     assert aux["n_nan"] == 1
     assert np.isfinite(ref_loss) and np.isfinite(my_loss)
     np.testing.assert_allclose(my_loss, ref_loss, rtol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# ScoreModel (ScoreDec/SGMSE+ path) parity: loss + PC sampler + PF-ODE
+# --------------------------------------------------------------------------
+
+OUVE_KW = dict(theta=1.5, sigma_min=0.05, sigma_max=0.82)
+
+
+@pytest.fixture(scope="module")
+def score_pair():
+    """(reference ScoreModel, my ScoreModel, converted params) sharing one
+    randomized nf=16 final_no_attn backbone and the OUVE SDE."""
+    install_reference()
+    import flowdec.data.feature_extractors as ref_fe
+    import flowdec.model as ref_model
+    import flowdec.sdes as ref_sdes
+
+    from flowdec_tpu.flow.sdes import OUVESDE
+    from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, ScoreModel
+
+    ref_bb, _my_bb, params, my_cfg = _build_reference_backbone(
+        "ncsnpp_final_no_attn", nf=16, seed=13
+    )
+    ref_m = ref_model.ScoreModel(
+        sde=ref_sdes.OUVESDE(**OUVE_KW, N=30), t_eps=3e-2,
+        backbone=ref_bb,
+        feature_extractor=ref_fe.AmplitudeCompressedComplexSTFT(
+            window_fn="hann", **FE_KW),
+        sampling_rate=48000, lr=1e-4,
+    )
+    ref_m.eval()
+    my_m = ScoreModel(
+        backbone=NCSNpp(my_cfg),
+        feature_extractor=AmplitudeCompressedComplexSTFT(**FE_KW),
+        sampling_rate=48000,
+        sde=OUVESDE(**OUVE_KW, N=30), t_eps=3e-2,
+    )
+    return ref_m, my_m, params
+
+
+def test_score_loss_parity(score_pair):
+    """Denoising-score-matching loss parity on identical draws: t sampling on
+    [t_eps, T], Gaussian perturbation X_t = mean + std·z, std-weighted error,
+    0.5·mean-of-sums reduction (reference ScoreModel._loss, model.py:590-611)
+    — also transitively checks the OUVE closed-form mean/std and the
+    score = −NN/std convention of forward() (model.py:613-628)."""
+    from flowdec_tpu.ops.cpair import crandn_like
+
+    ref_m, my_m, params = score_pair
+    rng = np.random.default_rng(53)
+    x = (rng.standard_normal((2, 24000)) * 0.2).astype(np.float32)
+    y = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+
+    key = jax.random.PRNGKey(17)
+    my_loss, aux = my_m.loss(params, key, (jnp.asarray(x), jnp.asarray(y)),
+                             train=False)
+    assert aux["n_nan"] == 0
+
+    # my loss's split order (score_model.py:53): k_t, k_z, k_drop; the raw
+    # uniforms feed the same ts = u·(T−t_eps)+t_eps affine on both sides
+    k_t, k_z, _ = jax.random.split(key, 3)
+    u = np.asarray(jax.random.uniform(k_t, (2,)), np.float32)
+    Ys, _, _ = my_m.preprocess(jnp.asarray(y), x=jnp.asarray(x))
+    z_q = [cpair_to_torch_complex(np.asarray(crandn_like(k_z, Ys))).unsqueeze(1)]
+
+    real_rand, real_randn_like = torch.rand, torch.randn_like
+    try:
+        torch.rand = lambda *a, **k: torch.from_numpy(u)
+        torch.randn_like = lambda x_, **k: (
+            z_q.pop(0).type(x_.dtype) if z_q else torch.zeros_like(x_))
+        with torch.no_grad():
+            ref_loss = ref_m._loss(
+                (torch.from_numpy(x)[:, None], torch.from_numpy(y)[:, None],
+                 ["a.wav", "b.wav"]), 0, "train")
+    finally:
+        torch.rand, torch.randn_like = real_rand, real_randn_like
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=2e-3)
+
+
+def _score_enhance_both(score_pair, run_ref, run_my, seed):
+    """Drive both ScoreModel samplers with ONE fixed CN(0,1) draw substituted
+    for every noise call (prior sampling, predictor z, ALD Langevin noise) —
+    the call sequences differ in PRNG plumbing but every draw is the same
+    tensor, so the stochastic arithmetic is compared exactly."""
+    ref_m, my_m, params = score_pair
+    rng = np.random.default_rng(seed)
+    y = (rng.standard_normal(24000) * 0.25).astype(np.float32)
+
+    Y_my, _, info_my = my_m.preprocess(jnp.asarray(y))
+    eps = ((rng.standard_normal(Y_my.shape[:3]) +
+            1j * rng.standard_normal(Y_my.shape[:3])) *
+           np.sqrt(0.5)).astype(np.complex64)
+    eps_t = torch.from_numpy(eps).unsqueeze(1)
+    eps_cp = jnp.asarray(np.stack([eps.real, eps.imag], axis=-1))
+
+    real_randn_like = torch.randn_like
+    try:
+        torch.randn_like = lambda x_, **k: eps_t.type(x_.dtype)
+        with torch.no_grad():
+            xhat_ref = run_ref(ref_m, torch.from_numpy(y)).numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    def score_fn(xt, y_feat, t):
+        return my_m.score(params, xt, y_feat, t)
+
+    X_hat = run_my(my_m, score_fn, Y_my,
+                   noise_fn=lambda k, x_: eps_cp.astype(x_.dtype))
+    xhat_my = np.asarray(my_m.postprocess(X_hat, info_my))
+    return xhat_ref, xhat_my
+
+
+@pytest.mark.parametrize("predictor,corrector", [
+    ("reverse_diffusion", "ald"),   # the reference's default operating point
+    ("euler_maruyama", "none"),
+])
+def test_score_pc_sampler_parity(score_pair, predictor, corrector):
+    """PC sampling end-to-end vs the reference pc_sampler loop
+    (sampling/__init__.py:58-70): timestep grid linspace(T, eps, N), ALD
+    corrector/reverse-diffusion predictor updates, final denoise-to-mean."""
+    from flowdec_tpu.flow.samplers import pc_sample
+
+    def run_ref(ref_m, y_t):
+        return ref_m.enhance(y_t, sampler_type="pc", predictor=predictor,
+                             corrector=corrector, N=4, corrector_steps=1,
+                             snr=0.5)
+
+    def run_my(my_m, score_fn, Y, noise_fn):
+        X_hat, nfe = pc_sample(
+            jax.random.PRNGKey(0), my_m.sde, score_fn, Y,
+            n_steps=4, predictor=predictor, corrector=corrector,
+            snr=0.5, corrector_steps=1, denoise=True, eps=my_m.t_eps,
+            noise_fn=noise_fn,
+        )
+        assert nfe == 4 * (2 if corrector != "none" else 1)
+        return X_hat
+
+    xhat_ref, xhat_my = _score_enhance_both(score_pair, run_ref, run_my, seed=61)
+    _assert_close(xhat_ref, xhat_my, 2e-3, f"pc {predictor}/{corrector}")
+
+
+def test_score_pf_drift_parity(score_pair):
+    """Exact check of the probability-flow reverse-ODE drift
+    f − ½·g²·score and its zeroed diffusion (reference RSDE.rsde_parts,
+    sdes.py:105-116) plus the non-pf reverse drift, on fixed (x, t, y) —
+    deterministic, so compared at float precision rather than through an
+    adaptive integration."""
+    from flowdec_tpu.flow.sdes import ReverseSDE
+
+    ref_m, my_m, params = score_pair
+    rng = np.random.default_rng(71)
+    shape = (2, 768, 64)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64) * 0.3
+    y = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64) * 0.3
+    x_cp = jnp.asarray(np.stack([x.real, x.imag], -1))
+    y_cp = jnp.asarray(np.stack([y.real, y.imag], -1))
+
+    def score_fn(xt, y_feat, t):
+        return my_m.score(params, xt, y_feat, t)
+
+    for pf in (True, False):
+        rsde_ref = ref_m.sde.reverse(ref_m, probability_flow=pf)
+        rsde_my = ReverseSDE(my_m.sde, score_fn, probability_flow=pf)
+        for tval in (0.9, 0.5, 0.1):
+            t = np.full((2,), tval, np.float32)
+            with torch.no_grad():
+                drift_ref, diff_ref = rsde_ref.sde(
+                    torch.from_numpy(x).unsqueeze(1), torch.from_numpy(t),
+                    torch.from_numpy(y).unsqueeze(1))
+            drift_my, diff_my = rsde_my.sde(x_cp, jnp.asarray(t), y_cp)
+            _assert_close(
+                torch_complex_to_cpair(drift_ref.squeeze(1)),
+                np.asarray(drift_my), 5e-4, f"pf={pf} t={tval} drift")
+            np.testing.assert_allclose(np.asarray(diff_my).ravel(),
+                                       diff_ref.numpy().ravel(), atol=1e-6)
+
+
+def test_score_pf_ode_sampler_parity(score_pair):
+    """Probability-flow ODE sampling vs the reference black-box solve_ivp
+    sampler (sampling/__init__.py:75-147): same prior draw, same reverse-ODE
+    drift, RK45 at the same tolerances, final reverse-diffusion denoise.
+
+    Integrated over [T, 0.3] (eps=0.3): with RANDOM backbone weights the
+    score ∝ 1/std(t) makes the reverse ODE stiff as t→0, and two adaptive
+    integrations whose error norms see the state differently (complex vs
+    re/im-split) diverge chaotically there — the drift formula itself is
+    pinned exactly by test_score_pf_drift_parity; this test checks the
+    solve_ivp plumbing (prior, time span, flattening, denoise) on the
+    well-conditioned span."""
+    from flowdec_tpu.flow.samplers import probability_flow_sample_adaptive
+
+    def run_ref(ref_m, y_t):
+        Y, _, info = ref_m._preprocess(y_t)
+        sampler = ref_m.get_ode_sampler(Y, N=30, rtol=1e-5, atol=1e-5,
+                                        eps=0.3, device="cpu")
+        X_hat, nfe = sampler()
+        assert nfe > 10
+        return ref_m._postprocess(X_hat, preprocess_info=info)
+
+    def run_my(my_m, score_fn, Y, noise_fn):
+        X_hat, nfe = probability_flow_sample_adaptive(
+            jax.random.PRNGKey(0), my_m.sde, score_fn, Y,
+            rtol=1e-5, atol=1e-5, denoise=True, eps=0.3,
+            noise_fn=noise_fn,
+        )
+        assert nfe > 10
+        return X_hat
+
+    xhat_ref, xhat_my = _score_enhance_both(score_pair, run_ref, run_my, seed=67)
+    _assert_close(xhat_ref, xhat_my, 2e-2, "pf-ode rk45")
+
+
+# --------------------------------------------------------------------------
+# RegressionModel (one-shot L2 baseline) parity: loss + enhance
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def regression_pair():
+    """(reference RegressionModel, my RegressionModel, converted params)
+    sharing one randomized nf=16 final_no_attn backbone."""
+    install_reference()
+    import flowdec.data.feature_extractors as ref_fe
+    import flowdec.model as ref_model
+
+    from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, RegressionModel
+
+    ref_bb, _my_bb, params, my_cfg = _build_reference_backbone(
+        "ncsnpp_final_no_attn", nf=16, seed=29
+    )
+    ref_m = ref_model.RegressionModel(
+        loss_type="l2", backbone=ref_bb,
+        feature_extractor=ref_fe.AmplitudeCompressedComplexSTFT(
+            window_fn="hann", **FE_KW),
+        sampling_rate=48000, lr=1e-4,
+    )
+    ref_m.eval()
+    my_m = RegressionModel(
+        backbone=NCSNpp(my_cfg),
+        feature_extractor=AmplitudeCompressedComplexSTFT(**FE_KW),
+        sampling_rate=48000,
+    )
+    return ref_m, my_m, params
+
+
+def test_regression_loss_parity(regression_pair):
+    """Deterministic L2 loss vs the reference RegressionModel._loss
+    (model.py:552-559): Xhat = NN(Y, Y, t=0), global mean |Xhat − X|² —
+    no RNG to pin, so compared directly."""
+    ref_m, my_m, params = regression_pair
+    rng = np.random.default_rng(91)
+    x = (rng.standard_normal((2, 24000)) * 0.2).astype(np.float32)
+    y = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss = ref_m._loss(
+            (torch.from_numpy(x)[:, None], torch.from_numpy(y)[:, None],
+             ["a.wav", "b.wav"]), 0, "train")
+    my_loss, aux = my_m.loss(params, jax.random.PRNGKey(0),
+                             (jnp.asarray(x), jnp.asarray(y)), train=False)
+    assert aux["n_nan"] == 0
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=2e-3)
+
+
+def test_regression_enhance_parity(regression_pair):
+    """Deterministic one-shot enhance() waveform equality vs the reference
+    (model.py:568-578): preprocess → NN(Y, Y, 0) → postprocess."""
+    ref_m, my_m, params = regression_pair
+    rng = np.random.default_rng(93)
+    y = (rng.standard_normal(24000) * 0.25).astype(np.float32)
+
+    with torch.no_grad():
+        xhat_ref = ref_m.enhance(torch.from_numpy(y)).numpy()
+    xhat_my = np.asarray(
+        my_m.enhance(params, jax.random.PRNGKey(0), jnp.asarray(y)[None])
+    )[0]
+    _assert_close(xhat_ref.ravel(), xhat_my.ravel(), 2e-3, "regression enhance")
+
+
+# --------------------------------------------------------------------------
+# SDE closed-form parity: OUVE / OUVP / BBED vs the reference classes
+# --------------------------------------------------------------------------
+
+
+def test_sde_closed_form_parity():
+    """Marginal mean/std, drift/diffusion, and Euler-Maruyama discretize for
+    all three SDE families, directly vs the reference classes
+    (sdes.py:132-325) on a shared complex batch and t grid — no backbone in
+    the loop, so these are exact closed-form comparisons.
+
+    Family-specific notes:
+    * BBED's `_e` computes scipy expi on CPU and then calls `.cuda()`
+      (the SURVEY §2.2 quirk); `torch.Tensor.cuda` is patched to a no-op so
+      the reference runs here — our on-device series/continued-fraction Ei
+      (flow/sdes.py:expi_negative) must match it anyway.
+    * OUVP std embodies the DOCUMENTED deliberate fix: the reference returns
+      the variance without sqrt (sdes.py:259-263, flagged unstable/unused
+      there); ours returns the standard deviation — asserted as
+      my_std == sqrt(ref_value).
+    * BBED's drift `(y - x) / (1-t)` (sdes.py:298) omits the
+      batch_broadcast the other families apply to t, so the reference
+      crashes for batch > 1 unless B happens to equal the trailing dim
+      (its shipped enhance path is batch-1, which is why it never fired);
+      sde/discretize are therefore compared at batch 1 for BBED, full
+      batch elsewhere. Ours broadcasts correctly for any batch."""
+    install_reference()
+    import flowdec.sdes as ref_sdes
+
+    from flowdec_tpu.flow import sdes as my_sdes
+
+    rng = np.random.default_rng(101)
+    B, F, Tdim = 3, 7, 5
+    x0 = (rng.standard_normal((B, F, Tdim)) +
+          1j * rng.standard_normal((B, F, Tdim))).astype(np.complex64) * 0.4
+    y = (rng.standard_normal((B, F, Tdim)) +
+         1j * rng.standard_normal((B, F, Tdim))).astype(np.complex64) * 0.4
+    x0_t, y_t = torch.from_numpy(x0).unsqueeze(1), torch.from_numpy(y).unsqueeze(1)
+    x0_c = jnp.asarray(np.stack([x0.real, x0.imag], -1))
+    y_c = jnp.asarray(np.stack([y.real, y.imag], -1))
+
+    pairs = [
+        ("ouve",
+         ref_sdes.OUVESDE(theta=1.7, sigma_min=0.04, sigma_max=0.9, N=37),
+         my_sdes.OUVESDE(theta=1.7, sigma_min=0.04, sigma_max=0.9, N=37)),
+        ("ouvp",
+         ref_sdes.OUVPSDE(beta_min=0.02, beta_max=0.9, stiffness=1.3, N=37),
+         my_sdes.OUVPSDE(beta_min=0.02, beta_max=0.9, stiffness=1.3, N=37)),
+        ("bbed",
+         ref_sdes.BBEDSDE(c=0.08, k=12.0, N=37),
+         my_sdes.BBEDSDE(c=0.08, k=12.0, N=37)),
+    ]
+
+    real_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self  # BBED _e quirk (see doc)
+    try:
+        for name, ref, mine in pairs:
+            assert float(mine.T) == pytest.approx(float(ref.T))
+            for tval in (0.02, 0.25, 0.5, 0.75, 0.97):
+                t_t = torch.full((B,), tval)
+                t_j = jnp.full((B,), tval, jnp.float32)
+
+                mean_ref, std_ref = ref.marginal_prob(x0_t, t_t, y_t)
+                mean_my, std_my = mine.marginal_prob(x0_c, t_j, y_c)
+                np.testing.assert_allclose(
+                    np.asarray(mean_my),
+                    torch_complex_to_cpair(mean_ref.squeeze(1)),
+                    rtol=2e-5, atol=1e-6, err_msg=f"{name} mean t={tval}")
+                ref_std = std_ref.numpy().ravel()
+                if name == "ouvp":
+                    ref_std = np.sqrt(ref_std)  # documented reference bug
+                np.testing.assert_allclose(
+                    np.asarray(std_my).ravel(), ref_std, rtol=2e-5,
+                    err_msg=f"{name} std t={tval}")
+
+                # BBED reference sde/discretize break for batch>1 (see doc)
+                nb = 1 if name == "bbed" else B
+                xs_t, ys_t, ts_t = x0_t[:nb], y_t[:nb], t_t[:nb]
+                xs_c, ys_c, ts_j = x0_c[:nb], y_c[:nb], t_j[:nb]
+
+                dr_ref, di_ref = ref.sde(xs_t, ts_t, ys_t)
+                dr_my, di_my = mine.sde(xs_c, ts_j, ys_c)
+                np.testing.assert_allclose(
+                    np.asarray(dr_my), torch_complex_to_cpair(dr_ref.squeeze(1)),
+                    rtol=2e-5, atol=1e-6, err_msg=f"{name} drift t={tval}")
+                np.testing.assert_allclose(
+                    np.broadcast_to(np.asarray(di_my), (nb,)).astype(np.float64),
+                    np.broadcast_to(np.asarray(di_ref), (nb,)).astype(np.float64),
+                    rtol=2e-5, err_msg=f"{name} diffusion t={tval}")
+
+                f_ref, g_ref = ref.discretize(xs_t, ts_t, ys_t)
+                f_my, g_my = mine.discretize(xs_c, ts_j, ys_c)
+                np.testing.assert_allclose(
+                    np.asarray(f_my), torch_complex_to_cpair(f_ref.squeeze(1)),
+                    rtol=2e-5, atol=1e-6, err_msg=f"{name} discretize f t={tval}")
+                np.testing.assert_allclose(
+                    np.broadcast_to(np.asarray(g_my), (nb,)).astype(np.float64),
+                    np.broadcast_to(np.asarray(g_ref), (nb,)).astype(np.float64),
+                    rtol=2e-5, err_msg=f"{name} discretize G t={tval}")
+    finally:
+        torch.Tensor.cuda = real_cuda
