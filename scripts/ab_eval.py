@@ -13,8 +13,8 @@ LogSpecMSE. One variant per --variant flag:
 
 Each variant enhances every coded file (shape-bucketed, fixed noise seed per
 file index so variants see identical noise draws) and reports mean SI-SDR /
-SI-SIR / SI-SAR / LogSpecMSE vs the clean reference, next to the coded-input
-baseline.
+SI-SIR / SI-SAR / LogSpecMSE / ESTOI (native) vs the clean reference, next
+to the coded-input baseline.
 """
 
 from __future__ import annotations
@@ -56,7 +56,9 @@ def main(argv=None):
     if args.limit:
         pairs = pairs[: args.limit]
 
-    metrics = [SISXR(args.sr), LogSpecMSE(args.sr)]
+    from flowdec_tpu.eval.metrics import ESTOI
+
+    metrics = [SISXR(args.sr), LogSpecMSE(args.sr), ESTOI(args.sr)]
 
     def rows_for(label, wav_fn):
         rows = []
