@@ -51,6 +51,12 @@ CASES = {
     "bf16_b2_grad":       ("bfloat16", 2, 2.0, "grad", True, None),
     "bf16_b4_fwd":        ("bfloat16", 4, 2.0, "fwd",  True, None),
     "bf16_b2_step_halfdepth": ("bfloat16", 2, 2.0, "step", True, (4, 4)),
+    # follow-ups after the first grid (activation-volume theory): if the
+    # helper's limit is bytes-of-activations, halving the dtype should buy
+    # ~2x batch for training graphs
+    "bf16_b4_step":       ("bfloat16", 4, 2.0, "step", True, None),
+    "bf16_b8_step":       ("bfloat16", 8, 2.0, "step", True, None),
+    "f32_b2_3s_step":     ("float32", 2, 3.0, "step", True,  None),
 }
 
 
