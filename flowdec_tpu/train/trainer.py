@@ -62,7 +62,8 @@ def _jitted_enhance(kwargs_items):
 
 
 def enhance_bucketed(model, params, key, y: np.ndarray, *,
-                     batch_pad_to: int = None, **enhance_kwargs):
+                     batch_pad_to: int = None, split_max: int = None,
+                     **enhance_kwargs):
     """Enhance a variable-length waveform via shape bucketing: zero-pad the
     tail to the bucket length (few distinct compiled shapes), crop the
     output back. Runs through a cached jitted enhance.
@@ -71,10 +72,14 @@ def enhance_bucketed(model, params, key, y: np.ndarray, *,
     aggregate RTF on TPU is NON-monotonic in batch — batches 2-7 fall BELOW
     single-stream throughput (5.7x vs 9.0x at NFE 6) because XLA/Mosaic
     picks a bad strategy for intermediate shapes and only flips to the good
-    one at 8. Batches in that trough are zero-row-padded to 8 (silent rows
-    cost the same compile bucket and are cropped away), so no caller can hit
-    the trough. Override with batch_pad_to (0/1 disables, e.g. on CPU where
-    padding only adds work — the default is TPU-only)."""
+    one at 8, so intermediate batches are never submitted as-is. From the
+    measured curve (batch-1 chunk 0.558 s, batch-8 call 2.80 s), k
+    SEQUENTIAL batch-1 calls beat one zero-row-padded batch-8 call for
+    k <= 5 (0.558·k < 2.80) on both throughput and last-stream latency, so:
+    batches 2..split_max run as sequential single-stream calls (per-row
+    fold_in keys), batches split_max+1..7 are zero-row-padded to 8 (silent
+    rows cropped away). Override batch_pad_to=0 to disable both (e.g. on
+    CPU, where the trough doesn't exist — that is the non-TPU default)."""
     y = np.asarray(y, np.float32)
     squeeze = y.ndim == 1
     if squeeze:
@@ -84,11 +89,21 @@ def enhance_bucketed(model, params, key, y: np.ndarray, *,
     y_pad = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, target - length))])
     if batch_pad_to is None:
         batch_pad_to = 8 if jax.default_backend() == "tpu" else 0
+    if split_max is None:
+        split_max = 5 if batch_pad_to else 0
     batch = y_pad.shape[0]
+    fn = _jitted_enhance(tuple(sorted(enhance_kwargs.items())))
+    if 1 < batch <= split_max and batch < batch_pad_to:
+        rows = [
+            fn(model, params, jax.random.fold_in(key, i), jnp.asarray(y_pad[i:i + 1]))
+            for i in range(batch)
+        ]
+        x_hat = np.concatenate([np.asarray(r) for r in rows], axis=0)
+        x_hat = x_hat[..., :length]
+        return x_hat[0] if squeeze else x_hat
     pad_rows = batch_pad_to - batch if 1 < batch < batch_pad_to else 0
     if pad_rows:
         y_pad = np.pad(y_pad, [(0, pad_rows)] + [(0, 0)] * (y_pad.ndim - 1))
-    fn = _jitted_enhance(tuple(sorted(enhance_kwargs.items())))
     x_hat = fn(model, params, key, jnp.asarray(y_pad))
     x_hat = np.asarray(x_hat)[:batch, ..., :length]
     return x_hat[0] if squeeze else x_hat

@@ -262,22 +262,34 @@ def test_learnable_window(batch):
 
 @pytest.mark.slow
 def test_enhance_bucketed_batch_pad_trough_guard():
-    """Batches 2-7 are padded to 8 when batch_pad_to=8 and the padded rows are
-    cropped: output equals the per-sample unpadded result (silent pad rows
-    can't leak), covering the measured TPU small-batch throughput trough."""
+    """TPU small-batch trough guard, both regimes (trainer.enhance_bucketed):
+    batch <= split_max runs as sequential single-stream calls; batches
+    split_max+1..7 are zero-row-padded to 8 with pad rows cropped. With
+    sigma_y=0 enhance is deterministic, so both must equal the plain batched
+    result exactly (silent pad rows / per-row splitting can't leak)."""
     from flowdec_tpu.train.trainer import enhance_bucketed
 
-    # sigma_y=0 makes enhance deterministic, so pad-row equivalence is exact
     # (with noise, jax.random draws are shape-dependent and rows would differ
     # by design, masking a padding bug)
     model = _make_flow_model(sigma_y=jnp.asarray(0.0))
     params = model.init_params(jax.random.PRNGKey(1))
     rng = np.random.default_rng(0)
-    y = (0.1 * rng.standard_normal((3, LENGTH))).astype(np.float32)
     key = jax.random.PRNGKey(5)
-    out_padded = enhance_bucketed(model, params, key, y,
-                                  batch_pad_to=8, n_steps=1, solver="euler")
-    out_plain = enhance_bucketed(model, params, key, y,
-                                 batch_pad_to=0, n_steps=1, solver="euler")
-    assert out_padded.shape == y.shape
-    np.testing.assert_allclose(out_padded, out_plain, atol=1e-5)
+
+    # split regime (batch 3 <= split_max 5): sequential single-stream calls
+    y3 = (0.1 * rng.standard_normal((3, LENGTH))).astype(np.float32)
+    out_split = enhance_bucketed(model, params, key, y3, batch_pad_to=8,
+                                 split_max=5, n_steps=1, solver="euler")
+    out_plain3 = enhance_bucketed(model, params, key, y3,
+                                  batch_pad_to=0, n_steps=1, solver="euler")
+    assert out_split.shape == y3.shape
+    np.testing.assert_allclose(out_split, out_plain3, atol=1e-5)
+
+    # pad regime (batch 6 > split_max 5): zero-row-pad to 8, crop back
+    y6 = (0.1 * rng.standard_normal((6, LENGTH))).astype(np.float32)
+    out_padded = enhance_bucketed(model, params, key, y6, batch_pad_to=8,
+                                  split_max=5, n_steps=1, solver="euler")
+    out_plain6 = enhance_bucketed(model, params, key, y6,
+                                  batch_pad_to=0, n_steps=1, solver="euler")
+    assert out_padded.shape == y6.shape
+    np.testing.assert_allclose(out_padded, out_plain6, atol=1e-5)
