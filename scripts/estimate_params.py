@@ -8,6 +8,13 @@ sample N (clean, coded) pairs, extract α-compressed complex STFT features
     σ_y = quantile_0.997(RMSE(Y−X)) / 3   globally   (:173-191)
           or per frequency band → .npy              (:163-171)
 
+Deliberate deviations (pinned by tests/test_reference_parity.py):
+  * per-band σ_y uses the TRUE per-band RMSE (time-norm / sqrt(n_frames));
+    the reference divides by sqrt(n_freq_bins) (`diff.shape[-2]**0.5`,
+    :166) — a constant-factor quirk, σ_y being a calibration constant.
+  * β takes the quantile of per-file quantiles (bounded memory) instead of
+    one pooled quantile over all bins (equal in distribution).
+
 Usage:
     python scripts/estimate_params.py --pairs-file pairs.txt \
         --alpha 0.3 --nfft 1534 --hop 384 [--per-band out.npy] [--n 2500]
