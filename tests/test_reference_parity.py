@@ -336,10 +336,16 @@ def _enhance_both(flow_pair, *, n_steps, solver, sigma_y=None, seed=31):
             1j * rng.standard_normal(Y_my.shape[:3])) *
            np.sqrt(0.5)).astype(np.complex64)
 
+    # instance attribute shadows the class method; MUST be removed after —
+    # flow_pair is module-scoped and the loss tests run on the same ref_m
     ref_m._get_noise = lambda x, sigma: (
         sigma * torch.from_numpy(eps).unsqueeze(1)).type(x.dtype)
-    with torch.no_grad():
-        xhat_ref = ref_m.enhance(torch.from_numpy(y), N=n_steps, solver=solver)
+    try:
+        with torch.no_grad():
+            xhat_ref = ref_m.enhance(torch.from_numpy(y), N=n_steps,
+                                     solver=solver)
+    finally:
+        del ref_m._get_noise
     xhat_ref = xhat_ref.numpy()
 
     sig = my_m.sigma_y
