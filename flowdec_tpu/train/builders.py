@@ -125,6 +125,7 @@ def build_flow_model(
     flow_matcher: Optional[Dict[str, Any]] = None,
     normalize_mode: str = "noisy",
     error_weighting=None,
+    compute_dtype: str = None,
     **trainer_kwargs,
 ) -> FlowModel:
     _strip_trainer_keys(trainer_kwargs)  # accepted, handled by Trainer
@@ -134,6 +135,7 @@ def build_flow_model(
         feature_extractor=feature_extractor,
         sampling_rate=sampling_rate,
         normalize_mode=normalize_mode,
+        compute_dtype=compute_dtype,
         sigma_x=_sigma_array(sigma_x),
         sigma_y=_sigma_array(sigma_y),
         cfm_sigma=cfm_sigma,
@@ -151,6 +153,7 @@ def build_score_model(
     sde,
     t_eps: float = 3e-2,
     normalize_mode: str = "noisy",
+    compute_dtype: str = None,
     **trainer_kwargs,
 ) -> ScoreModel:
     return ScoreModel(
@@ -158,6 +161,7 @@ def build_score_model(
         feature_extractor=feature_extractor,
         sampling_rate=sampling_rate,
         normalize_mode=normalize_mode,
+        compute_dtype=compute_dtype,
         sde=sde,
         t_eps=t_eps,
     )
@@ -170,6 +174,7 @@ def build_regression_model(
     sampling_rate: int,
     loss_type: str = "l2",
     normalize_mode: str = "noisy",
+    compute_dtype: str = None,
     **trainer_kwargs,
 ) -> RegressionModel:
     return RegressionModel(
@@ -177,5 +182,6 @@ def build_regression_model(
         feature_extractor=feature_extractor,
         sampling_rate=sampling_rate,
         normalize_mode=normalize_mode,
+        compute_dtype=compute_dtype,
         loss_type=loss_type,
     )

@@ -113,3 +113,34 @@ def test_yaml12_scientific_notation_floats():
     assert d["b"] == 1500.0 and d["c"] == 2e8
     assert d["d"] == "keep1e-4me"
     assert d["e"] == 1e-8
+
+
+def test_builder_compute_dtype_passthrough():
+    """model.compute_dtype=bfloat16 must reach the model pytree through the
+    builders (bf16 batch-2 TRAINING compiles on this runtime — PERF.md r2
+    compile-helper bisection — so the knob has to be config-reachable)."""
+    import jax
+
+    from flowdec_tpu.models import AmplitudeCompressedComplexSTFT
+    from flowdec_tpu.nn import NCSNpp, NCSNppConfig
+    from flowdec_tpu.train.builders import build_flow_model
+
+    model = build_flow_model(
+        backbone=NCSNpp(NCSNppConfig(nf=16, ch_mult=(1, 2), num_res_blocks=1,
+                                     attn_resolutions=(), image_size=64,
+                                     bottleneck_attn=False)),
+        feature_extractor=AmplitudeCompressedComplexSTFT(
+            n_fft=126, n_hops=4, sampling_rate=8000, alpha=0.3, beta=0.33),
+        sampling_rate=8000,
+        compute_dtype="bfloat16",
+    )
+    assert model.compute_dtype == "bfloat16"
+    import jax.numpy as jnp
+    import numpy as np
+
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    loss, aux = model.loss(
+        params, jax.random.PRNGKey(1),
+        (jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), jnp.float32)),
+        train=False)
+    assert np.isfinite(float(loss))
