@@ -359,13 +359,16 @@ class Trainer:
                     state, batch, jax.random.fold_in(key, step)
                 )
                 step += 1
+                # Heartbeat every step: async dispatch returning means the
+                # queue is draining — on a true hang the NEXT dispatch blocks
+                # and beats stop within one step, while beating only at log
+                # points would false-fire whenever log_every × step time
+                # exceeds the timeout.
+                if watchdog is not None:
+                    watchdog.beat()
 
                 if step % self.log_every == 0:
                     loss = float(metrics["train_loss"])
-                    # float() above synced the device — the step really
-                    # finished, so this is an honest heartbeat.
-                    if watchdog is not None:
-                        watchdog.beat()
                     if np.isnan(loss):
                         raise ValueError(
                             f"Whole batch at step {step} led to NaN loss values! "

@@ -117,6 +117,8 @@ def main(argv=None):
                 state, teacher_params, batch, jax.random.fold_in(key, step)
             )
             step += 1
+            if watchdog is not None:  # see trainer.py: beat every step
+                watchdog.beat()
             if step % args.log_every == 0:
                 now = time.perf_counter()
                 sps = args.log_every / (now - t_last)
@@ -125,8 +127,6 @@ def main(argv=None):
                     f"step {step}: distill_loss={float(metrics['distill_loss']):.5f} "
                     f"grad_norm={float(metrics['grad_norm']):.3f} ({sps:.2f} steps/s)"
                 )
-                if watchdog is not None:  # float() above synced the device
-                    watchdog.beat()
             ckpt.maybe_save(state)
         epoch += 1
     if watchdog is not None:
