@@ -88,3 +88,26 @@ def test_watchdog_thread_is_daemon_and_stops_cleanly():
     assert isinstance(th, threading.Thread) and th.daemon
     wd.stop()
     assert not th.is_alive()
+
+
+def test_abort_path_exits_113_in_subprocess():
+    """The real on_hang='abort' path: a subprocess arms the watchdog, blocks
+    in a C-level sleep (no beats), and must die with HANG_EXIT_CODE and an
+    all-thread stack dump on stderr."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time\n"
+        "from flowdec_tpu.train.watchdog import HangWatchdog\n"
+        "wd = HangWatchdog(timeout=0.3, first_beat_grace=0.3,\n"
+        "                  poll_interval=0.05).start()\n"
+        "time.sleep(30)\n"
+        "print('not reached')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=120)
+    assert proc.returncode == HANG_EXIT_CODE, (proc.returncode, proc.stderr[-500:])
+    assert "HangWatchdog" in proc.stderr
+    assert "Thread" in proc.stderr  # faulthandler dump present
+    assert "not reached" not in proc.stdout
