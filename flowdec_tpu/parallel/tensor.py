@@ -69,6 +69,13 @@ def make_tp_enhance(
     given params tree is seen. The placed tree is cached (keyed by the
     identity of the incoming tree), so serving loops that call with the same
     params pay the host-side sharding walk + device_put only once.
+
+    Cache contract: callers must treat params trees as IMMUTABLE — update by
+    replacing the tree (the functional jax idiom, e.g. optax/tree_map
+    outputs), never by mutating leaves of the same dict in place. The cache
+    keys on the tree object's identity (and pins it, so the id cannot be
+    reused), so an in-place mutation would silently serve the stale placed
+    arrays from the previous version.
     """
     kwargs = dict(enhance_kwargs or {})
 

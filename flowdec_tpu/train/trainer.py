@@ -326,12 +326,8 @@ class Trainer:
             except ValueError:  # not in main thread
                 pass
 
-        from flowdec_tpu.eval.metrics import get_audiotype_from_basename
-
         # Failure detection (watchdog.py): a wedged device call must turn
         # into a nonzero exit the supervisor can requeue, not a silent stall.
-        from contextlib import nullcontext
-
         from flowdec_tpu.train.watchdog import HangWatchdog
 
         watchdog = (
@@ -340,6 +336,27 @@ class Trainer:
         )
 
         t_last = time.perf_counter()
+        try:
+            state = self._fit_loop(
+                state, loader, key, step, preempted, watchdog, t_last
+            )
+        finally:
+            # An exception escaping the loop must not leave the armed daemon
+            # to os._exit(113) during teardown (masking the real traceback).
+            if watchdog is not None:
+                watchdog.stop()
+        if self.ckpt is not None and is_primary_host():
+            self.ckpt.maybe_save(state, force=True)
+            self.ckpt.wait()
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        return state
+
+    def _fit_loop(self, state, loader, key, step, preempted, watchdog, t_last):
+        from contextlib import nullcontext
+
+        from flowdec_tpu.eval.metrics import get_audiotype_from_basename
+
         while step < self.max_steps and not preempted["flag"]:
             for x, y, names in loader.epoch(self.current_epoch):
                 if step >= self.max_steps or preempted["flag"]:
@@ -398,14 +415,11 @@ class Trainer:
                     self._log(val_metrics, step)
 
                 if self.ckpt is not None and is_primary_host():
-                    self.ckpt.maybe_save(state)
+                    # Checkpoint writes are a known-long phase (watchdog.py
+                    # docstring); a slow remote write must not trip the
+                    # steady-state step timeout mid-write.
+                    with (watchdog.suspended() if watchdog is not None
+                          else nullcontext()):
+                        self.ckpt.maybe_save(state)
             self.current_epoch += 1
-
-        if watchdog is not None:
-            watchdog.stop()
-        if self.ckpt is not None and is_primary_host():
-            self.ckpt.maybe_save(state, force=True)
-            self.ckpt.wait()
-        for sig, handler in old_handlers.items():
-            signal.signal(sig, handler)
         return state

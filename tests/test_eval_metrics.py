@@ -348,3 +348,28 @@ class TestNativeESTOI:
         metric = ESTOI_cls(SR)  # pystoi absent → native backend
         row = get_metrics_row([metric], "speech_0.wav", x_hat, x, y)
         assert np.isfinite(row["estoi"]) and -1.0 <= row["estoi"] <= 1.0
+
+    def test_published_framing_constants(self):
+        # ESTOI's definition (Jensen & Taal 2016 / pystoi): 256-sample Hann
+        # frames with 50% overlap zero-padded to a 512-pt FFT, 30-frame
+        # (384 ms) segments.
+        from flowdec_tpu.eval import estoi as E
+
+        assert (E._N_FRAME, E._HOP, E._N_FFT, E._SEG) == (256, 128, 512, 30)
+        assert E._SEG * E._HOP / E._SR == pytest.approx(0.384)
+        # band matrix covers 257 rfft bins with 15 non-empty bands
+        H = E._third_octave_matrix()
+        assert H.shape == (15, 257)
+        assert (H.sum(axis=1) > 0).all()
+
+    def test_tracks_pystoi_when_available(self):
+        pystoi = pytest.importorskip("pystoi")
+        from flowdec_tpu.eval.estoi import estoi_np
+
+        x = _speechy(sr=10000, seconds=2.0, seed=4)
+        rng = np.random.default_rng(5)
+        for a in (0.02, 0.1, 0.4):
+            y = x + a * rng.standard_normal(x.shape)
+            ours = estoi_np(x, y, 10000)
+            theirs = pystoi.stoi(x, y, 10000, extended=True)
+            assert ours == pytest.approx(theirs, abs=0.02), (a, ours, theirs)
