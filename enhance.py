@@ -94,7 +94,16 @@ def main(argv=None):
     noisy_files = noisy_files[sl]
     clean_files = clean_files[sl] if clean_files else None
 
-    model, params, _cfg = load_model(args.ckpt, ema=args.ema)
+    if os.path.isfile(args.ckpt) and args.ckpt.endswith(".ckpt"):
+        # a reference PyTorch Lightning checkpoint (e.g. the released
+        # step=800000.ckpt): import it in place — the reference's own
+        # enhance.py --ema silently ignored the flag (model.py:352-385
+        # commented out); here it selects _pl_ema_state_dict for real
+        from flowdec_tpu.convert import load_torch_checkpoint
+
+        model, params, _cfg = load_torch_checkpoint(args.ckpt, ema=args.ema)
+    else:
+        model, params, _cfg = load_model(args.ckpt, ema=args.ema)
     sr = model.sampling_rate
 
     if isinstance(model, ScoreModel):

@@ -16,13 +16,18 @@ structured Flax parameter tree with the appropriate layout transforms:
     NIN W (I, O), b                →  identical
     GaussianFourier W              →  identical
 
-Usage:
+Usage (one call for a full Lightning .ckpt — the released checkpoints):
+    from flowdec_tpu.convert import load_torch_checkpoint
+    model, params, config = load_torch_checkpoint("step=800000.ckpt", ema=True)
+    x_hat = model.enhance(params, jax.random.PRNGKey(0), y, n_steps=3,
+                          solver="midpoint")
+
+Lower-level (a bare state dict + a config you already have):
     from flowdec_tpu.convert import convert_ncsnpp_state_dict
     params = convert_ncsnpp_state_dict(torch_state_dict, backbone_config)
     # torch_state_dict: e.g. ckpt["_pl_ema_state_dict"] with "backbone." keys
 
-(Loading the .ckpt file itself requires torch: `torch.load(path,
-map_location='cpu')` — torch is only needed for the one-time conversion.)
+(torch is only needed for the one-time conversion.)
 """
 
 from __future__ import annotations
@@ -39,6 +44,8 @@ __all__ = [
     "expected_torch_keys",
     "convert_dac_state_dict",
     "expected_dac_torch_keys",
+    "backbone_config_from_reference",
+    "load_torch_checkpoint",
 ]
 
 
@@ -402,3 +409,185 @@ def expected_dac_torch_keys(config) -> List[str]:
     names += [f"decoder.model.{n_rates + 1}.alpha"]
     names += wn(f"decoder.model.{n_rates + 2}")
     return names
+
+
+# ---------------------------------------------------------------------------
+# First-class Lightning .ckpt import (the demo.ipynb cell-2/3 recipe, one call)
+# ---------------------------------------------------------------------------
+
+def _plain(obj):
+    """OmegaConf containers / Lightning AttributeDicts → plain dict/list."""
+    try:
+        import omegaconf
+
+        if isinstance(obj, (omegaconf.DictConfig, omegaconf.ListConfig)):
+            obj = omegaconf.OmegaConf.to_container(obj, resolve=True)
+    except ImportError:
+        pass
+    if isinstance(obj, dict) or type(obj).__name__ == "AttributeDict":
+        return {k: _plain(v) for k, v in dict(obj).items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    return obj
+
+
+def backbone_config_from_reference(bb: Dict[str, Any]) -> NCSNppConfig:
+    """Reference NCSNpp ctor kwargs (a resolved `model.backbone` config node,
+    e.g. config/model/backbone/ncsnpp_final_no_attn.yaml) → NCSNppConfig."""
+    bb = dict(bb)
+    bb.pop("_target_", None)
+    okw = dict(bb.pop("output_layer_kwargs", None) or {})
+    defaults = NCSNppConfig()
+    kw = {}
+    for field in (
+        "nonlinearity", "nf", "num_res_blocks", "resamp_with_conv",
+        "conditional", "fir", "skip_rescale", "resblock_type", "progressive",
+        "progressive_input", "progressive_combine", "init_scale",
+        "image_size", "embedding_type", "dropout", "num_channels",
+        "bottleneck_attn",
+    ):
+        if field in bb:
+            kw[field] = bb[field]
+    if "ch_mult" in bb:
+        kw["ch_mult"] = tuple(bb["ch_mult"])
+    if "attn_resolutions" in bb:
+        kw["attn_resolutions"] = tuple(bb["attn_resolutions"])
+    if "fir_kernel" in bb:
+        kw["fir_kernel"] = tuple(float(v) for v in bb["fir_kernel"])
+    if "fourier_scale" in bb:
+        kw["fourier_scale"] = float(bb["fourier_scale"])
+    kw["output_kernel_size"] = okw.get("kernel_size", defaults.output_kernel_size)
+    kw["output_bias"] = okw.get("bias", defaults.output_bias)
+    return NCSNppConfig(**kw)
+
+
+def _sde_from_reference(sde_cfg: Dict[str, Any]):
+    from flowdec_tpu.flow import sdes as my_sdes
+
+    sde_cfg = dict(sde_cfg)
+    target = sde_cfg.pop("_target_", "flowdec.sdes.OUVESDE")
+    cls = getattr(my_sdes, target.rsplit(".", 1)[-1])
+    return cls(**sde_cfg)
+
+
+def load_torch_checkpoint(
+    path: str,
+    *,
+    ema: bool = True,
+    compute_dtype=None,
+):
+    """One-call import of a reference PyTorch Lightning checkpoint.
+
+    Parses `ckpt['hyper_parameters']` (the full resolved Hydra config the
+    reference stores via save_hyperparameters — model.py:119, marshalled in
+    util/hydra.py:31) into a model config, selects the EMA weights
+    (`_pl_ema_state_dict`, written by EMAModelCheckpoint — callbacks/
+    ema.py:201-215) or the raw `state_dict`, converts every tensor, and
+    returns a ready-to-run triple.
+
+    This replaces the reference's two working-but-manual recipes: the
+    demo-notebook path (hydra compose + instantiate + load_state_dict,
+    demo.ipynb cell 2) and the broken `enhance.py --ema` path (the custom
+    load_from_checkpoint impl is commented out at reference model.py:352-385,
+    so `ema=True` was silently ignored — see SURVEY §"quirks").
+
+    Returns:
+        (model, params, config) — model is a FlowModel/ScoreModel/
+        RegressionModel per the checkpoint's `model._target_`; params is the
+        Flax variables tree (including the learnable STFT window when the
+        checkpoint carries one); config is the checkpoint's full resolved
+        config as a plain dict.
+    """
+    import torch
+
+    from flowdec_tpu.models import (
+        AmplitudeCompressedComplexSTFT,
+        FlowModel,
+        RegressionModel,
+        ScoreModel,
+    )
+    from flowdec_tpu.models.sigma import as_band_sigma
+    from flowdec_tpu.nn import NCSNpp
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg = _plain(ckpt.get("hyper_parameters") or {})
+    if "model" not in cfg:
+        raise ValueError(
+            f"{path} has no hyper_parameters.model config — it was saved "
+            "without full_config (reference model.py:101 warns about this); "
+            "build the model from its experiment YAML and use "
+            "convert_ncsnpp_state_dict directly."
+        )
+    mcfg = cfg["model"]
+
+    sd_key = "_pl_ema_state_dict" if ema else "state_dict"
+    if sd_key not in ckpt:
+        raise KeyError(
+            f"{path} has no '{sd_key}' (available: {sorted(ckpt)}); "
+            + ("it was saved without the EMA callback — retry with ema=False"
+               if ema else "not a Lightning checkpoint?")
+        )
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in ckpt[sd_key].items()
+    }
+
+    # feature extractor: reference kwargs map 1:1 onto ours
+    fe_kw = dict(mcfg["feature_extractor"])
+    fe_kw.pop("_target_", None)
+    feature_extractor = AmplitudeCompressedComplexSTFT(**fe_kw)
+
+    backbone_cfg = backbone_config_from_reference(mcfg["backbone"])
+    backbone = NCSNpp(backbone_cfg)
+
+    def _sigma(name: str):
+        # sigma_x/sigma_y are non-trainable nn.Parameters in the reference
+        # state dict (model.py:408-419) — the checkpoint itself is the source
+        # of truth (the config may point at a from_file .npy that no longer
+        # exists on this machine)
+        if name in sd:
+            return as_band_sigma(np.squeeze(sd[name]))
+        val = mcfg.get(name)
+        if isinstance(val, (int, float)):
+            return as_band_sigma(float(val))
+        raise ValueError(
+            f"{name} is neither in the state dict nor a config scalar"
+        )
+
+    target = str(mcfg.get("_target_", "flowdec.model.FlowModel"))
+    family = target.rsplit(".", 1)[-1]
+    common = dict(
+        backbone=backbone,
+        feature_extractor=feature_extractor,
+        sampling_rate=int(mcfg.get("sampling_rate",
+                                   cfg.get("sampling_rate", 48000))),
+        normalize_mode=mcfg.get("normalize_mode", "noisy"),
+        compute_dtype=compute_dtype,
+    )
+    if family == "FlowModel":
+        model = FlowModel(
+            sigma_x=_sigma("sigma_x"),
+            sigma_y=_sigma("sigma_y"),
+            cfm_sigma=float((mcfg.get("flow_matcher") or {}).get("sigma", 0.0)),
+            **common,
+        )
+    elif family == "ScoreModel":
+        model = ScoreModel(
+            sde=_sde_from_reference(mcfg.get("sde") or {}),
+            t_eps=float(mcfg.get("t_eps", 3e-2)),
+            **common,
+        )
+    elif family == "RegressionModel":
+        model = RegressionModel(**common)
+    else:
+        raise ValueError(f"Unknown model family {target!r}")
+
+    params = convert_ncsnpp_state_dict(sd, backbone_cfg)
+    win_key = "feature_extractor.complex_stft.window"
+    if getattr(feature_extractor, "learnable_window", False):
+        if win_key not in sd:
+            raise KeyError(
+                f"learnable_window=True but {win_key!r} missing from {sd_key}"
+            )
+        params["params"]["stft_window"] = np.asarray(sd[win_key], np.float32)
+    return model, params, cfg
