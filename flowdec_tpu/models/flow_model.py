@@ -67,9 +67,14 @@ class FlowModel(EnhancementModel):
         t, xt, ut = sample_location_and_conditional_flow(
             k_cfm, ys, xs, t, sigma=self.cfm_sigma
         )
+        # Mixed-precision training: with compute_dtype set, the backbone runs
+        # in bf16 (params cast once per step, features cast at the boundary)
+        # while preprocessing/noise/targets/reduction stay f32 — the standard
+        # recipe; gradients come back f32 through the cast transpose.
         vt = self.apply_backbone(
-            params, xt, Ymu, t, train=train, rngs={"dropout": k_drop}
-        )
+            self.cast_for_compute(params), self.cast_features(xt),
+            self.cast_features(Ymu), t, train=train, rngs={"dropout": k_drop}
+        ).astype(ut.dtype)
 
         # |Vt - Ut|² per complex element (reference takes abs() of the complex
         # residual, model.py:437); optional per-bin/-band/-frame weighting.
@@ -130,7 +135,10 @@ class FlowModel(EnhancementModel):
         t, xt, ut = sample_location_and_conditional_flow(
             k_cfm, ys, xs, t, sigma=self.cfm_sigma
         )
-        vt = self.apply_backbone(params, xt, Ymu, t, train=train, rngs={"dropout": k_drop})
+        vt = self.apply_backbone(
+            self.cast_for_compute(params), self.cast_features(xt),
+            self.cast_features(Ymu), t, train=train, rngs={"dropout": k_drop}
+        ).astype(ut.dtype)
 
         sq_errs = cabs2(vt - ut)
         per_sample = jnp.mean(sq_errs.reshape(sq_errs.shape[0], -1), axis=1)

@@ -30,7 +30,12 @@ class RegressionModel(EnhancementModel):
         Y = jax.lax.stop_gradient(Y)
         X = jax.lax.stop_gradient(X)
         t = jnp.zeros((X.shape[0],))
-        x_hat = self.apply_backbone(params, Y, Y, t, train=train, rngs={"dropout": key})
+        # mixed-precision: backbone in compute_dtype, residual in f32
+        Yc = self.cast_features(Y)
+        x_hat = self.apply_backbone(
+            self.cast_for_compute(params), Yc, Yc, t, train=train,
+            rngs={"dropout": key}
+        ).astype(X.dtype)
         sq = cabs2(x_hat - X)
         per_sample = jnp.mean(sq.reshape(X.shape[0], -1), axis=1)
         return jnp.mean(per_sample), {

@@ -61,7 +61,11 @@ class ScoreModel(EnhancementModel):
         zs = crandn_like(k_z, Ys)
         xts = mean + zs * std
 
-        score_est = self.score(params, xts, Ys, ts, train=train, rngs={"dropout": k_drop})
+        # mixed-precision: backbone in compute_dtype, score/std math in f32
+        score_est = self.score(
+            self.cast_for_compute(params), self.cast_features(xts),
+            self.cast_features(Ys), ts, train=train, rngs={"dropout": k_drop}
+        ).astype(Ys.dtype)
         score_gt = -zs / std
         err = std * (score_est - score_gt)  # std-weighting stabilizer
 

@@ -139,8 +139,31 @@ def test_builder_compute_dtype_passthrough():
     import numpy as np
 
     params = model.init_params(jax.random.PRNGKey(0), frames=64)
-    loss, aux = model.loss(
-        params, jax.random.PRNGKey(1),
-        (jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), jnp.float32)),
-        train=False)
+    rng = np.random.default_rng(0)
+    batch = (jnp.asarray(rng.standard_normal((1, 8000)) * 0.1, jnp.float32),
+             jnp.asarray(rng.standard_normal((1, 8000)) * 0.1, jnp.float32))
+    loss, aux = model.loss(params, jax.random.PRNGKey(1), batch, train=False)
     assert np.isfinite(float(loss))
+
+    # the TRAINING graph must actually run the backbone in bf16 (round-2's
+    # knob set the field but the loss path never cast — the "bf16 training"
+    # measurements were silently f32): lowered HLO of the grad must contain
+    # bf16 convolutions and gradients must come back finite f32
+    lowered = jax.jit(jax.grad(
+        lambda p: model.loss(p, jax.random.PRNGKey(1), batch, train=False)[0]
+    )).lower(params)
+    txt = lowered.as_text()
+    assert "bf16" in txt and "convolution" in txt
+    import re
+
+    conv_lines = [ln for ln in txt.splitlines() if "convolution(" in ln]
+    bf16_convs = [ln for ln in conv_lines if "bf16" in ln]
+    assert conv_lines and len(bf16_convs) >= 0.9 * len(conv_lines), (
+        f"{len(bf16_convs)}/{len(conv_lines)} convs lowered to bf16"
+    )
+    grads = jax.grad(
+        lambda p: model.loss(p, jax.random.PRNGKey(1), batch, train=False)[0]
+    )(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
