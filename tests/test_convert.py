@@ -305,3 +305,56 @@ def test_dac_converter_forward_parity():
         wav_t = tm.decoder.model(torch.from_numpy(np.transpose(zq, (0, 2, 1)))).numpy()
     wav_j = model.apply(params, jnp.asarray(zq), method=NDAC.decode)
     np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0, :], atol=1e-4)
+
+
+def test_dac_keys_match_vendored_1_0_0_manifest():
+    """expected_dac_torch_keys / convert_dac_state_dict pinned against the
+    VENDORED dac 1.0.0 44 kHz key+shape manifest
+    (tests/data/dac_1_0_0_44khz_state_dict_manifest.json, generated by
+    scripts/vendor/dac_manifest_gen.py as a transcription of the published
+    descript-audio-codec 1.0.0 module definitions) — an anchor independent
+    of both the converter and the in-test torch replica, closing the
+    replica↔converter circularity: a shared misread of the real DAC
+    architecture would now fail here."""
+    import json
+    import os
+
+    import jax
+    import numpy as np
+
+    from flowdec_tpu.codec.ndac import NDAC, NDACConfig
+    from flowdec_tpu.convert import convert_dac_state_dict, expected_dac_torch_keys
+
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "dac_1_0_0_44khz_state_dict_manifest.json")
+    manifest = json.load(open(manifest_path))
+
+    # the published 44 kHz DAC 1.0.0 geometry (dac/utils: DAC(encoder_dim=64,
+    # encoder_rates=[2,4,8,8], latent_dim=1024, decoder_dim=1536,
+    # n_codebooks=9, codebook_size=1024, codebook_dim=8))
+    cfg = NDACConfig(
+        sampling_rate=44100, encoder_dim=64, encoder_rates=(2, 4, 8, 8),
+        decoder_dim=1536, latent_dim=1024, n_codebooks=9,
+        codebook_size=1024, codebook_dim=8,
+    )
+    expected = expected_dac_torch_keys(cfg)
+    assert len(expected) == len(set(expected))
+    assert set(expected) == set(manifest), (
+        sorted(set(expected) ^ set(manifest))[:10]
+    )
+
+    # shape fidelity: a state dict with the manifest's exact shapes must
+    # convert into exactly the params tree NDAC initializes at this geometry
+    sd = {k: np.full(shape, 0.1, np.float32) for k, shape in manifest.items()}
+    params = convert_dac_state_dict(sd, cfg)
+
+    model = NDAC(cfg)
+    hop = cfg.hop_length
+    ref = jax.eval_shape(
+        lambda k, x: model.init(k, x, cfg.n_codebooks),
+        jax.random.PRNGKey(0), jnp.zeros((1, 4 * hop), jnp.float32),
+    )
+    conv_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+    ref_shapes = jax.tree.map(lambda a: tuple(a.shape), ref)
+    assert conv_shapes == ref_shapes
