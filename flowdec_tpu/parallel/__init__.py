@@ -11,7 +11,11 @@ from flowdec_tpu.parallel.mesh import (
     shard_batch,
 )
 from flowdec_tpu.parallel.sequence import make_sequence_parallel_enhance
-from flowdec_tpu.parallel.tensor import make_tp_enhance, tp_param_shardings
+from flowdec_tpu.parallel.tensor import (
+    make_sp_tp_enhance,
+    make_tp_enhance,
+    tp_param_shardings,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -21,6 +25,7 @@ __all__ = [
     "is_primary_host",
     "make_mesh",
     "make_sequence_parallel_enhance",
+    "make_sp_tp_enhance",
     "make_tp_enhance",
     "tp_param_shardings",
     "replicated",

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowdec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["tp_param_shardings", "make_tp_enhance"]
+__all__ = ["tp_param_shardings", "make_tp_enhance", "make_sp_tp_enhance"]
 
 
 def tp_param_shardings(
@@ -83,6 +83,45 @@ def make_tp_enhance(
         return model.enhance(params, key, y, **kwargs)
 
     fn = jax.jit(_enhance, out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+    return _placed_params_call(fn, model, mesh, y_spec=P(DATA_AXIS))
+
+
+def make_sp_tp_enhance(
+    model,
+    mesh: Mesh,
+    *,
+    enhance_kwargs: Optional[dict] = None,
+):
+    """Composed sequence×tensor parallel enhance on a 2-D (data, model) mesh:
+    the STFT TIME axis of one long input shards over 'data' (conv halo
+    exchanges at shard boundaries, as in make_sequence_parallel_enhance)
+    while every wide conv kernel shards on OUTPUT CHANNELS over 'model'
+    (channel collectives, as in make_tp_enhance). This is the combined-axis
+    serving layout for inputs too long for one chip's activation memory AND
+    backbones too wide for one chip's weight+temp budget — both axes ride ICI
+    inside one jitted program.
+
+    Same placed-params cache and immutability contract as make_tp_enhance.
+    """
+    kwargs = dict(enhance_kwargs or {})
+    feat_spec = NamedSharding(mesh, P(None, None, DATA_AXIS, None))  # (B,F,T,2)
+
+    def _enhance(params, key, y):
+        window = model.stft_window(params)
+        Y, _, info = model.preprocess(y, window=window)
+        Y = jax.lax.with_sharding_constraint(Y, feat_spec)
+        out = model.enhance_features(params, key, Y, **kwargs)
+        out = jax.lax.with_sharding_constraint(out, feat_spec)
+        return model.postprocess(out, info, window=window)
+
+    fn = jax.jit(_enhance)
+    return _placed_params_call(fn, model, mesh, y_spec=P())
+
+
+def _placed_params_call(fn, model, mesh: Mesh, *, y_spec: P):
+    """Wrap a jitted enhance-like fn(params, key, y) with the one-slot
+    placed-params cache: channel-shard params per tp_param_shardings on first
+    sight of a given tree, then reuse the placement."""
     placed_cache: dict = {}
 
     def call(params, key, y):
@@ -101,7 +140,7 @@ def make_tp_enhance(
         else:
             placed = cached[1]
         key = jax.device_put(key, NamedSharding(mesh, P()))
-        y = jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS)))
+        y = jax.device_put(y, NamedSharding(mesh, y_spec))
         return fn(placed, key, y)
 
     return call

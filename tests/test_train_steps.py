@@ -252,6 +252,28 @@ def test_tensor_parallel_enhance_matches_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_sp_tp_composed_enhance_matches_single_device():
+    """Composed sequence×tensor parallel enhance on a 4(data=time)x2(model)
+    mesh equals the unsharded result — halo exchanges on the time axis AND
+    channel collectives from O-sharded conv kernels, in one program."""
+    import numpy as np
+
+    from flowdec_tpu.parallel import make_mesh, make_sp_tp_enhance
+
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0), frames=64)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((1, 2016)).astype(np.float32) * 0.1)
+
+    kwargs = dict(n_steps=2, solver="midpoint", sigma_fac=0.0)
+    ref = model.enhance(params, jax.random.PRNGKey(1), y, **kwargs)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    fn = make_sp_tp_enhance(model, mesh, enhance_kwargs=kwargs)
+    got = fn(params, jax.random.PRNGKey(1), y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_reflow_distillation_step():
     """ReFlow distillation: frozen-teacher pair generation is deterministic,
     the jitted distill step reduces the straight-bridge loss, and only the
