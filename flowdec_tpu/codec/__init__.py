@@ -4,6 +4,7 @@ from flowdec_tpu.codec.ndac import NDAC, NDACConfig, ResidualVectorQuantizer, sn
 from flowdec_tpu.codec.training import (
     CodecLossWeights,
     create_codec_train_state,
+    load_codec,
     make_codec_train_step,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "snake",
     "CodecLossWeights",
     "create_codec_train_state",
+    "load_codec",
     "make_codec_train_step",
 ]

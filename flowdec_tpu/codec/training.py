@@ -19,7 +19,12 @@ from flowdec_tpu.losses import MelSpectrogramLoss, MultiScaleSTFTLoss, WaveformL
 from flowdec_tpu.parallel.mesh import DATA_AXIS
 from flowdec_tpu.train.state import TrainState
 
-__all__ = ["CodecLossWeights", "make_codec_train_step", "create_codec_train_state"]
+__all__ = [
+    "CodecLossWeights",
+    "make_codec_train_step",
+    "create_codec_train_state",
+    "load_codec",
+]
 
 
 class CodecLossWeights:
@@ -49,6 +54,27 @@ def create_codec_train_state(codec, key, optimizer, *, length: int = 8192) -> Tr
         ema_params=jax.tree.map(jnp.copy, params),
         opt_state=optimizer.init(params),
     )
+
+
+def load_codec(ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None):
+    """Config-free codec reload: (codec, params, config) from a
+    scripts/train_codec.py checkpoint dir — the NDAC counterpart of
+    checkpoints.load_model (the reference's `dac_utils.load_model(...)`,
+    demo.ipynb cell 3, but against checkpoints this framework trains)."""
+    from flowdec_tpu.codec.ndac import NDAC, NDACConfig
+    from flowdec_tpu.train.checkpoints import CheckpointManager, load_config_json
+
+    raw = dict(load_config_json(ckpt_dir)["codec"])
+    raw["encoder_rates"] = tuple(raw["encoder_rates"])  # JSON arrays → tuple
+    cfg = NDACConfig(**raw)
+    codec = NDAC(cfg)
+    state = create_codec_train_state(
+        codec, jax.random.PRNGKey(0), optax.adam(1e-4), length=8 * cfg.hop_length
+    )
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state, step=step)
+    mgr.close()
+    return codec, state.eval_params(ema=ema), cfg
 
 
 def make_codec_train_step(

@@ -62,13 +62,13 @@ def main(argv=None):
     x = jnp.asarray(wav, jnp.float32)  # (1, T)
 
     # --- codec ---
-    codec_cfg = NDACConfig()
-    codec = NDAC(codec_cfg)
     if args.codec_ckpt:
-        import orbax.checkpoint as ocp
+        from flowdec_tpu.codec import load_codec
 
-        codec_params = ocp.StandardCheckpointer().restore(args.codec_ckpt)
+        codec, codec_params, codec_cfg = load_codec(args.codec_ckpt, ema=True)
     else:
+        codec_cfg = NDACConfig()
+        codec = NDAC(codec_cfg)
         log.warning("No --codec-ckpt: NDAC runs with random weights (smoke run)")
         codec_params = codec.init(jax.random.PRNGKey(0), x[:, : codec_cfg.hop_length * 8])
 

@@ -206,6 +206,43 @@ def test_codec_train_step(codec_and_params):
     assert recons[-1] < recons[0], f"codec not learning: {recons[0]} -> {recons[-1]}"
 
 
+def test_load_codec_roundtrip(tmp_path):
+    """load_codec restores (codec, EMA params, config) from a
+    scripts/train_codec.py-layout checkpoint dir — the NDAC counterpart of
+    checkpoints.load_model (reference demo.ipynb cell 3 dac_utils.load_model)."""
+    import optax
+
+    from flowdec_tpu.codec import create_codec_train_state, load_codec
+    from flowdec_tpu.train.checkpoints import CheckpointManager
+
+    codec = NDAC(TINY)
+    optimizer = optax.adam(1e-4)
+    state = create_codec_train_state(codec, jax.random.PRNGKey(3), optimizer, length=640)
+    # make raw and EMA distinguishable
+    state = state.replace(
+        step=jnp.asarray(7, jnp.int32),
+        ema_params=jax.tree.map(lambda p: p + 1.0, state.params),
+    )
+    ckpt_dir = str(tmp_path / "ndac")
+    mgr = CheckpointManager(ckpt_dir, last_every_n_steps=1,
+                            config={"codec": TINY.__dict__})
+    mgr.maybe_save(state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    codec2, params_ema, cfg = load_codec(ckpt_dir, ema=True)
+    assert cfg == TINY and codec2.config.hop_length == TINY.hop_length
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_ema, state.ema_params,
+    )
+    _, params_raw, _ = load_codec(ckpt_dir, ema=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_raw, state.params,
+    )
+
+
 @pytest.mark.slow
 def test_flow_finetune_loss():
     """Aux finetuning losses on the one-step reconstruction (restored stripped
