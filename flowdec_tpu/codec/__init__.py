@@ -3,6 +3,7 @@
 from flowdec_tpu.codec.ndac import NDAC, NDACConfig, ResidualVectorQuantizer, snake
 from flowdec_tpu.codec.training import (
     CodecLossWeights,
+    codec_optimizer,
     create_codec_train_state,
     load_codec,
     make_codec_train_step,
@@ -14,6 +15,7 @@ __all__ = [
     "ResidualVectorQuantizer",
     "snake",
     "CodecLossWeights",
+    "codec_optimizer",
     "create_codec_train_state",
     "load_codec",
     "make_codec_train_step",

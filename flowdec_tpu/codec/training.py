@@ -21,10 +21,27 @@ from flowdec_tpu.train.state import TrainState
 
 __all__ = [
     "CodecLossWeights",
+    "codec_optimizer",
     "make_codec_train_step",
     "create_codec_train_state",
     "load_codec",
 ]
+
+
+def codec_optimizer(
+    lr: float = 1e-4, *, grad_clip: Optional[float] = 1.0
+) -> optax.GradientTransformation:
+    """The codec training optimizer: Adam(0.8, 0.99) behind global-norm
+    gradient clipping. Clipping is LOAD-BEARING: at init the RVQ
+    commitment/codebook terms are huge (random codebooks vs a live encoder,
+    ~1e3 on real 48 kHz audio) and grow geometrically for the first steps —
+    unclipped, the first real campaign NaN'd by step 50. One builder shared
+    by scripts/train_codec.py and load_codec so checkpoint opt_state trees
+    always match."""
+    adam = optax.adam(lr, b1=0.8, b2=0.99)
+    if grad_clip is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
 
 
 class CodecLossWeights:
@@ -69,7 +86,7 @@ def load_codec(ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None):
     cfg = NDACConfig(**raw)
     codec = NDAC(cfg)
     state = create_codec_train_state(
-        codec, jax.random.PRNGKey(0), optax.adam(1e-4), length=8 * cfg.hop_length
+        codec, jax.random.PRNGKey(0), codec_optimizer(), length=8 * cfg.hop_length
     )
     mgr = CheckpointManager(ckpt_dir)
     state = mgr.restore(state, step=step)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowdec_tpu.ops.stft import stft_pair
-from flowdec_tpu.ops.cpair import cabs
+from flowdec_tpu.ops.cpair import cabs2
 
 __all__ = [
     "MultiScaleSTFTLoss",
@@ -42,10 +42,22 @@ def _periodic_hann(n: int) -> jnp.ndarray:
 
 
 def _magnitude(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """|STFT| with periodic hann (torch.stft default window in the loss)."""
+    """|STFT| with periodic hann (torch.stft default window in the loss).
+
+    Grad-safe: sqrt(|z|²+eps), NOT plain |z| — d|z|/dz is 0/0=NaN at exactly-
+    zero bins, and a tanh-saturated (constant) reconstruction early in codec
+    training produces many of them; one such bin NaN'd the whole param tree
+    (first NDAC campaign died at step ~50)."""
     window = _periodic_hann(n_fft)
     spec = stft_pair(x, window, hop_length=hop, center=True)
-    return cabs(spec)  # (..., F, T)
+    return jnp.sqrt(cabs2(spec) + 1e-12)  # (..., F, T)
+
+
+def _power(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """|STFT|² — no sqrt at all, so no zero-bin grad hazard."""
+    window = _periodic_hann(n_fft)
+    spec = stft_pair(x, window, hop_length=hop, center=True)
+    return cabs2(spec)  # (..., F, T)
 
 
 def _l1(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -142,8 +154,8 @@ class MelSpectrogramLoss:
         ):
             fb = mel_filterbank(self.sampling_rate, w, n_mels, fmin, fmax)
             # torchaudio MelSpectrogram: power-2 spectrogram → mel
-            m_hat = jnp.einsum("mf,...ft->...mt", fb, _magnitude(x_hat, w, w // 4) ** 2)
-            m = jnp.einsum("mf,...ft->...mt", fb, _magnitude(x, w, w // 4) ** 2)
+            m_hat = jnp.einsum("mf,...ft->...mt", fb, _power(x_hat, w, w // 4))
+            m = jnp.einsum("mf,...ft->...mt", fb, _power(x, w, w // 4))
             if self.log_weight > 0:
                 loss += self.log_weight * _l1(
                     jnp.log10(jnp.maximum(m_hat, self.clamp_eps) ** self.pow),

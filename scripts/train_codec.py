@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--crop-seconds", type=float, default=0.38,
                         help="training crop (DAC uses ~0.38 s)")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--grad-clip", type=float, default=1.0,
+                        help="global grad-norm clip (the RVQ terms explode "
+                             "unclipped at init); pass 0 to disable")
     parser.add_argument("--sr", type=int, default=48000)
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--ckpt-every", type=int, default=5000)
@@ -49,6 +52,7 @@ def main(argv=None):
         CodecLossWeights,
         NDAC,
         NDACConfig,
+        codec_optimizer,
         create_codec_train_state,
         make_codec_train_step,
     )
@@ -78,7 +82,7 @@ def main(argv=None):
     )
 
     codec = NDAC(cfg)
-    optimizer = optax.adam(args.lr, b1=0.8, b2=0.99)
+    optimizer = codec_optimizer(args.lr, grad_clip=args.grad_clip or None)
     state = create_codec_train_state(
         codec, jax.random.PRNGKey(args.seed), optimizer, length=crop
     )

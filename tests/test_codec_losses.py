@@ -114,6 +114,35 @@ def test_codec_training_grads(codec_and_params):
     assert float(jnp.sum(jnp.abs(cb_g))) > 0
 
 
+def test_spectral_loss_grads_finite_at_saturated_recon():
+    """Regression: a tanh-saturated (constant) reconstruction has exactly-zero
+    STFT bins, where d|z|/dz = 0/0 = NaN — the unguarded magnitude NaN'd the
+    whole param tree in the first NDAC campaign. All spectral losses must
+    give finite grads there."""
+    from flowdec_tpu.losses import (
+        CQTLoss,
+        MelSpectrogramLoss,
+        MultiScaleSTFTLoss,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(4096).astype(np.float32) * 0.1)
+
+    for loss in (
+        MultiScaleSTFTLoss(window_lengths=(512, 256)),
+        MelSpectrogramLoss(sampling_rate=SR, n_mels=(10, 20),
+                           window_lengths=(256, 512),
+                           mel_fmin=(0.0, 0.0), mel_fmax=(None, None)),
+        CQTLoss(sampling_rate=SR),
+    ):
+        for recon in (jnp.ones_like(x), jnp.zeros_like(x)):
+            val, grad = jax.value_and_grad(lambda r: loss(r, x))(recon)
+            assert np.isfinite(float(val)), loss
+            assert np.isfinite(np.asarray(grad)).all(), (
+                f"{type(loss).__name__} grad NaN at saturated recon"
+            )
+
+
 def test_mel_filterbank_matches_librosa_shape():
     fb = np.asarray(mel_filterbank(SR, 512, 40))
     assert fb.shape == (40, 257)
