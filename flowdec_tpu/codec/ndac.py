@@ -50,11 +50,23 @@ class Snake(nn.Module):
 
 
 def _conv1d(features: int, kernel: int, *, stride: int = 1, dilation: int = 1,
-            name: Optional[str] = None) -> nn.Conv:
+            init_scale: float = 1.0, name: Optional[str] = None) -> nn.Conv:
+    """1-D conv; init_scale multiplies the init STD (lecun_normal at 1.0).
+
+    Small init_scale is the TPU-training stabilizer replacing torch DAC's
+    weight_norm dynamics: without it the decoder's tanh saturates at init
+    (pre-tanh activations ≫1 from the Snake DC accumulation) and the RVQ
+    residual chain inflates z_e, and Adam's scale-free steps then run the
+    un-normed weights away (first NDAC campaign: VQ loss 879→24k in 7
+    steps). Checkpoint LAYOUT is unchanged (init only)."""
     pad = ((kernel - 1) * dilation) // 2
     return nn.Conv(
         features, (kernel,), strides=(stride,), kernel_dilation=(dilation,),
-        padding=((pad, pad),), name=name,
+        padding=((pad, pad),),
+        kernel_init=nn.initializers.variance_scaling(
+            init_scale * init_scale, "fan_in", "truncated_normal"
+        ),
+        name=name,
     )
 
 
@@ -144,7 +156,9 @@ class Decoder(nn.Module):
             d //= 2
             h = DecoderBlock(d, stride, name=f"block_{i}")(h)
         h = Snake(name="snake_out")(h)
-        h = _conv1d(1, 7, name="conv_out")(h)
+        # small-init: start unsaturated (tanh near-linear) so recon grads
+        # flow from step 0 — see _conv1d docstring
+        h = _conv1d(1, 7, init_scale=0.01, name="conv_out")(h)
         return jnp.tanh(h)
 
 
@@ -160,7 +174,9 @@ class VectorQuantizer(nn.Module):
 
     def setup(self):
         self.in_proj = _conv1d(self.codebook_dim, 1, name="in_proj")
-        self.out_proj = _conv1d(self.input_dim, 1, name="out_proj")
+        # damped out-projection: keeps the 16-stage residual chain from
+        # inflating ‖residual‖ (and with it z_e/commitment) at init
+        self.out_proj = _conv1d(self.input_dim, 1, init_scale=0.3, name="out_proj")
         self.codebook = self.param(
             "codebook",
             nn.initializers.normal(1.0),

@@ -31,14 +31,16 @@ __all__ = [
 def codec_optimizer(
     lr: float = 1e-4, *, grad_clip: Optional[float] = 1.0
 ) -> optax.GradientTransformation:
-    """The codec training optimizer: Adam(0.8, 0.99) behind global-norm
-    gradient clipping. Clipping is LOAD-BEARING: at init the RVQ
+    """The codec training optimizer: AdamW(0.8, 0.99, wd=1e-2) behind
+    global-norm gradient clipping (torch DAC trains with AdamW too; the
+    decoupled decay counters Adam's scale-free magnitude random-walk on
+    these un-weight-normed convs). Clipping is LOAD-BEARING: at init the RVQ
     commitment/codebook terms are huge (random codebooks vs a live encoder,
     ~1e3 on real 48 kHz audio) and grow geometrically for the first steps —
     unclipped, the first real campaign NaN'd by step 50. One builder shared
     by scripts/train_codec.py and load_codec so checkpoint opt_state trees
     always match."""
-    adam = optax.adam(lr, b1=0.8, b2=0.99)
+    adam = optax.adamw(lr, b1=0.8, b2=0.99, weight_decay=1e-2)
     if grad_clip is None:
         return adam
     return optax.chain(optax.clip_by_global_norm(grad_clip), adam)

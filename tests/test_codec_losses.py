@@ -239,13 +239,11 @@ def test_load_codec_roundtrip(tmp_path):
     """load_codec restores (codec, EMA params, config) from a
     scripts/train_codec.py-layout checkpoint dir — the NDAC counterpart of
     checkpoints.load_model (reference demo.ipynb cell 3 dac_utils.load_model)."""
-    import optax
-
-    from flowdec_tpu.codec import create_codec_train_state, load_codec
+    from flowdec_tpu.codec import codec_optimizer, create_codec_train_state, load_codec
     from flowdec_tpu.train.checkpoints import CheckpointManager
 
     codec = NDAC(TINY)
-    optimizer = optax.adam(1e-4)
+    optimizer = codec_optimizer(1e-4)
     state = create_codec_train_state(codec, jax.random.PRNGKey(3), optimizer, length=640)
     # make raw and EMA distinguishable
     state = state.replace(
