@@ -357,6 +357,10 @@ class Trainer:
 
         from flowdec_tpu.eval.metrics import get_audiotype_from_basename
 
+        # the FIRST dispatch blocks through the jit compile (10-20 min for a
+        # fresh graph on the remote-compile runtime) with no heartbeat — a
+        # known-long phase, not a hang; suspend the watchdog around it
+        first_dispatch = True
         while step < self.max_steps and not preempted["flag"]:
             for x, y, names in loader.epoch(self.current_epoch):
                 if step >= self.max_steps or preempted["flag"]:
@@ -372,9 +376,13 @@ class Trainer:
                     batch = self._place((jnp.asarray(x), jnp.asarray(y), speech_mask))
                 else:
                     batch = self._place((jnp.asarray(x), jnp.asarray(y)))
-                state, metrics = self.train_step(
-                    state, batch, jax.random.fold_in(key, step)
-                )
+                with (watchdog.suspended()
+                      if watchdog is not None and first_dispatch
+                      else nullcontext()):
+                    state, metrics = self.train_step(
+                        state, batch, jax.random.fold_in(key, step)
+                    )
+                first_dispatch = False
                 step += 1
                 # Heartbeat every step: async dispatch returning means the
                 # queue is draining — on a true hang the NEXT dispatch blocks
