@@ -270,6 +270,62 @@ def test_load_codec_roundtrip(tmp_path):
     )
 
 
+def test_code_corpus_cli(tmp_path):
+    """scripts/code_corpus.py re-codes a corpus's coded side through a
+    trained-NDAC checkpoint end to end: pairs files written, coded wavs
+    decodable, clean side referenced from the source corpus."""
+    import numpy as np
+
+    from flowdec_tpu.codec import codec_optimizer, create_codec_train_state
+    from flowdec_tpu.data.wavio import read_wav, write_wav
+    from flowdec_tpu.train.checkpoints import CheckpointManager
+    from scripts.code_corpus import main as code_main
+
+    sr = TINY.sampling_rate
+    src = tmp_path / "src"
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 3), ("test", 2)):
+        cdir = src / split / "clean"
+        ydir = src / split / "coded"
+        cdir.mkdir(parents=True)
+        ydir.mkdir(parents=True)
+        lines = []
+        for i in range(n):
+            x = (rng.standard_normal(sr // 4) * 0.1).astype(np.float32)
+            cp, yp = cdir / f"{split}_{i}.wav", ydir / f"{split}_{i}.wav"
+            write_wav(str(cp), x, sr)
+            write_wav(str(yp), x, sr)  # placeholder coded side
+            lines.append(f"{cp},{yp}")
+        (src / f"{split}_pairs.txt").write_text("\n".join(lines) + "\n")
+
+    codec = NDAC(TINY)
+    state = create_codec_train_state(
+        codec, jax.random.PRNGKey(0), codec_optimizer(1e-4), length=640
+    )
+    ckpt = tmp_path / "ck"
+    mgr = CheckpointManager(str(ckpt), last_every_n_steps=1,
+                            config={"codec": TINY.__dict__})
+    mgr.maybe_save(state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    out = tmp_path / "coded"
+    code_main([
+        "--corpus", str(src), "--out", str(out), "--codec-ckpt", str(ckpt),
+        "--nq", "2", "--batch", "2", "--splits", "train,test",
+    ])
+    for split, n in (("train", 3), ("test", 2)):
+        pairs = [l.split(",") for l in
+                 (out / f"{split}_pairs.txt").read_text().splitlines()]
+        assert len(pairs) == n
+        for clean_path, coded_path in pairs:
+            assert clean_path.startswith(str(src))
+            y, got_sr = read_wav(coded_path)
+            x, _ = read_wav(clean_path)
+            assert got_sr == sr and y.shape[-1] == x.shape[-1]
+            assert np.isfinite(y).all()
+
+
 @pytest.mark.slow
 def test_flow_finetune_loss():
     """Aux finetuning losses on the one-step reconstruction (restored stripped
