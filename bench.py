@@ -116,6 +116,13 @@ def measure_pipeline_rtf(model, params, *, seconds=5.0, batch=1, n_steps=3,
     )
     x0 = jnp.zeros((batch, length), jnp.float32)
     cparams = codec.init(jax.random.PRNGKey(0), x0, nq)
+    if model.compute_dtype is not None:
+        # bf16 codec decode (validated vs f32 decode on the trained NDAC:
+        # tests/test_convert.py::test_codec_bf16_decode_close) — the decode
+        # is ~25% of the NFE-1 pipeline call, and the MXU runs it 2x in bf16
+        from flowdec_tpu.codec.ndac import cast_codec_params
+
+        cparams = cast_codec_params(cparams, model.compute_dtype)
 
     @jax.jit
     def pipeline(cparams, params, codes, key):
@@ -123,6 +130,7 @@ def measure_pipeline_rtf(model, params, *, seconds=5.0, batch=1, n_steps=3,
 
         z_q = codec.apply(cparams, codes, method=NDAC.from_codes)
         y = codec.apply(cparams, z_q, method=NDAC.decode)[..., :length]
+        y = y.astype(jnp.float32)
         return model.enhance(params, key, y, n_steps=n_steps, solver=solver)
 
     key = jax.random.PRNGKey(1)

@@ -31,7 +31,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NDACConfig", "NDAC", "ResidualVectorQuantizer", "snake"]
+__all__ = [
+    "NDACConfig", "NDAC", "ResidualVectorQuantizer", "snake",
+    "cast_codec_params",
+]
+
+
+def cast_codec_params(params, dtype) -> dict:
+    """Cast float codec params for reduced-precision inference (bf16 decode).
+
+    Flax conv/dense ops follow their operand dtypes, so a bf16 param tree +
+    bf16 input runs the whole decode on the MXU in bf16 (mirrors
+    EnhancementModel.cast_for_compute). Integer leaves (codes) are untouched.
+    The serving pipeline (bench.py, scripts/demo.py --codec-dtype) casts the
+    decoded waveform back to float32 before the postfilter's preprocess.
+    """
+    dt = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda p: p.astype(dt) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
 
 
 def snake(x: jax.Array, alpha: jax.Array) -> jax.Array:

@@ -71,6 +71,15 @@ class EnhancementModel(flax.struct.PyTreeNode):
     # convs/matmuls on the MXU in bf16 (params cast once per enhance call,
     # features cast at the ODE boundary; losses/training stay f32)
     compute_dtype: Optional[str] = flax.struct.field(pytree_node=False, default=None)
+    # serving-only: also run the fixed feature chain (normalize → STFT →
+    # compress, and the inverse) in compute_dtype. The whole chain follows its
+    # input dtype (window/DFT matrices/compression are dtype-polymorphic), so
+    # this is a single waveform cast at entry + one at exit. At the distilled
+    # NFE-1 operating point the fixed feature work is a large share of device
+    # time (PERF.md r3 NFE-1 profile) — this knob trades ~38 dB of feature
+    # SNR (far below the enhancement residual) for that time. Training and
+    # parity paths keep f32 (default off; losses never read it).
+    cast_preprocess: bool = flax.struct.field(pytree_node=False, default=False)
 
     def cast_for_compute(self, params):
         """Cast float params to the inference compute dtype (no-op if None)."""
@@ -128,6 +137,11 @@ class EnhancementModel(flax.struct.PyTreeNode):
         y, squeeze_dims = leading_shape_to_batch(y)
         if x is not None:
             x, _ = leading_shape_to_batch(x)
+        if self.cast_preprocess and self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            y = y.astype(dt)
+            if x is not None:
+                x = x.astype(dt)
 
         y, x, normfac = normalize_noisy(y, mode=self.normalize_mode, x=x)
         Y = self.feature_extractor.forward(y, comp_eps=comp_eps, window=window)

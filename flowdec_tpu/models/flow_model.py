@@ -237,4 +237,9 @@ class FlowModel(EnhancementModel):
         if return_trajectory:
             x_hats = jax.vmap(lambda X: self.postprocess(X, info, window=window))(out)
             return out, x_hats
+        if self.cast_preprocess and self.compute_dtype is not None:
+            # run the inverse chain (decompress → ISTFT → de-normalize) in
+            # compute dtype too; waveform output stays f32 for callers
+            out = self.cast_features(out)
+            return self.postprocess(out, info, window=window).astype(jnp.float32)
         return self.postprocess(out, info, window=window)

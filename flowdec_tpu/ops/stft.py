@@ -170,8 +170,14 @@ def stft_pair(
 
     method = _resolve_method(method)
     if method == "fft":
+        # XLA's RFFT is f32/f64-only; for reduced-precision inputs (the
+        # cast_preprocess serving path on CPU) compute in f32, round back
+        in_dtype = frames.dtype
+        if in_dtype not in (jnp.float32, jnp.float64):
+            frames = frames.astype(jnp.float32)
         spec = jnp.fft.rfft(frames, axis=-1)  # (..., n_frames, n_bins)
         pair = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+        pair = pair.astype(in_dtype)
     elif method == "matmul":
         cos_m, sin_m = _dft_matrices(n_fft, str(frames.dtype))
         re = jnp.matmul(frames, cos_m, precision=_DFT_PRECISION)
@@ -231,7 +237,11 @@ def istft_pair(
 
     method = _resolve_method(method)
     if method == "fft":
+        in_dtype = re.dtype
+        if in_dtype not in (jnp.float32, jnp.float64):
+            re, im = re.astype(jnp.float32), im.astype(jnp.float32)
         frames = jnp.fft.irfft(jax.lax.complex(re, im), n=n_fft, axis=-1)
+        frames = frames.astype(in_dtype)
     elif method == "matmul":
         cos_m, sin_m = _idft_matrices(n_fft, str(re.dtype))
         frames = jnp.matmul(re, cos_m, precision=_DFT_PRECISION) - jnp.matmul(

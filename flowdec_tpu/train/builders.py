@@ -126,6 +126,7 @@ def build_flow_model(
     normalize_mode: str = "noisy",
     error_weighting=None,
     compute_dtype: str = None,
+    cast_preprocess: bool = False,
     **trainer_kwargs,
 ) -> FlowModel:
     _strip_trainer_keys(trainer_kwargs)  # accepted, handled by Trainer
@@ -136,6 +137,7 @@ def build_flow_model(
         sampling_rate=sampling_rate,
         normalize_mode=normalize_mode,
         compute_dtype=compute_dtype,
+        cast_preprocess=cast_preprocess,
         sigma_x=_sigma_array(sigma_x),
         sigma_y=_sigma_array(sigma_y),
         cfm_sigma=cfm_sigma,

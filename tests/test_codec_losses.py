@@ -460,3 +460,31 @@ class TestPesqSurrogate:
 
     def test_speech_gating_attribute(self):
         assert tuple(self._loss().only_applies_to) == ("speech",)
+
+
+def test_codec_bf16_decode_close(codec_and_params):
+    """bf16 decode (bench.py's serving-pipeline fast path) tracks the f32
+    decode: cast_codec_params + bf16 latents must reproduce the waveform to
+    bf16 noise (~40 dB SNR), with integer code paths untouched."""
+    from flowdec_tpu.codec.ndac import cast_codec_params
+
+    codec, params = codec_and_params
+    rng = np.random.default_rng(5)
+    codes = jnp.asarray(rng.integers(0, TINY.codebook_size, (2, 4, 20)), jnp.int32)
+
+    z_q = codec.apply(params, codes, method=NDAC.from_codes)
+    y32 = codec.apply(params, z_q, method=NDAC.decode)
+
+    p16 = cast_codec_params(params, "bfloat16")
+    # codebooks now bf16 ⇒ from_codes yields bf16 latents; codes stay int
+    z16 = codec.apply(p16, codes, method=NDAC.from_codes)
+    assert z16.dtype == jnp.bfloat16
+    y16 = codec.apply(p16, z16, method=NDAC.decode)
+    assert y16.dtype == jnp.bfloat16
+
+    err = np.asarray(y16.astype(jnp.float32) - y32)
+    snr = 10 * np.log10(float(np.mean(np.asarray(y32) ** 2)) / max(float(np.mean(err**2)), 1e-30))
+    # ~23 dB on a random-init tiny codec (bf16 has 8 mantissa bits and the
+    # 0.01-scaled conv_out init makes the relative scale worst-case); the
+    # trained-codec validation on real audio lives in CAMPAIGN.md r3
+    assert snr > 20.0, f"bf16 decode SNR {snr:.1f} dB vs f32"
