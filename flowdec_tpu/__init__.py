@@ -35,3 +35,12 @@ if _os.environ.get("JAX_PLATFORMS"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # already initialized or unknown platform string
         pass
+
+# Persistent XLA compilation cache for every CLI/entry point (VERDICT r3 #3):
+# relaunches after a tunnel hang recompile from disk in seconds instead of
+# re-paying 15-25 min. See utils/compile_cache.py; FLOWDEC_NO_COMPILE_CACHE=1
+# opts out.
+from flowdec_tpu.utils.compile_cache import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc
