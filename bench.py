@@ -29,22 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache (compiles on this remote-device link
-    take ~15-25 min; caching makes reruns instant)."""
-    try:
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   os.path.expanduser("~/.cache/flowdec_tpu_xla"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+# Persistent XLA compilation cache — shared framework-wide implementation
+# (utils/compile_cache.py, also run at flowdec_tpu import time).
+from flowdec_tpu.utils.compile_cache import enable_compilation_cache
 
-_enable_compilation_cache()
+enable_compilation_cache()
 
 
-def build_model(compute_dtype=None):
+def build_model(compute_dtype=None, cast_preprocess=False):
     from flowdec_tpu.models import AmplitudeCompressedComplexSTFT, FlowModel
     from flowdec_tpu.models import sigma_models
     from flowdec_tpu.nn import FLOWDEC_FINAL_NO_ATTN, NCSNpp
@@ -59,6 +51,7 @@ def build_model(compute_dtype=None):
             sigma_models.from_file("flowdec_autoparams_75m.npy", kernel_bandwidth=3)
         ),
         compute_dtype=compute_dtype,
+        cast_preprocess=cast_preprocess,
     )
 
 
@@ -68,6 +61,41 @@ def build_codec(nq: int = 10):
 
     cfg = NDACConfig()  # 48 kHz, hop 640, 16 codebooks
     return NDAC(cfg), cfg, nq
+
+
+def measure_codec_decode_rtf(*, seconds=10.0, batch=1, nq=10, iters=6,
+                             rounds=3) -> float:
+    """NDAC decode-only real-time factor: integer codes → waveform, the
+    codec share of the serving pipeline (reference demo.ipynb cell 4's
+    decode step)."""
+    codec, cfg, nq = build_codec(nq)
+    sr = cfg.sampling_rate
+    frames = int(seconds * sr) // cfg.hop_length
+    rng = np.random.default_rng(0)
+    x0 = jnp.zeros((batch, frames * cfg.hop_length), jnp.float32)
+    params = codec.init(jax.random.PRNGKey(0), x0, nq)
+
+    @jax.jit
+    def decode(params, codes):
+        from flowdec_tpu.codec.ndac import NDAC
+
+        z_q = codec.apply(params, codes, method=NDAC.from_codes)
+        return codec.apply(params, z_q, method=NDAC.decode)
+
+    all_codes = [
+        jnp.asarray(rng.integers(0, cfg.codebook_size, (batch, nq, frames)),
+                    jnp.int32)
+        for _ in range(iters * rounds)
+    ]
+    decode(params, all_codes[0]).block_until_ready()
+    best = 0.0
+    for r in range(rounds):
+        start = time.perf_counter()
+        for i in range(iters):
+            out = decode(params, all_codes[r * iters + i])
+        out.block_until_ready()
+        best = max(best, seconds * batch * iters / (time.perf_counter() - start))
+    return best
 
 
 def measure_codec_rtf(*, seconds=10.0, batch=1, nq=10, iters=6, rounds=3) -> float:
@@ -118,7 +146,7 @@ def measure_pipeline_rtf(model, params, *, seconds=5.0, batch=1, n_steps=3,
     cparams = codec.init(jax.random.PRNGKey(0), x0, nq)
     if model.compute_dtype is not None:
         # bf16 codec decode (validated vs f32 decode on the trained NDAC:
-        # tests/test_convert.py::test_codec_bf16_decode_close) — the decode
+        # tests/test_codec_losses.py::test_codec_bf16_decode_close) — the decode
         # is ~25% of the NFE-1 pipeline call, and the MXU runs it 2x in bf16
         from flowdec_tpu.codec.ndac import cast_codec_params
 
@@ -215,6 +243,20 @@ def main() -> None:
     )
 
     if os.environ.get("BENCH_ALL"):
+        # batch curve at the distilled NFE-1 operating point (full pipeline)
+        for b in (1, 2, 4):
+            rtf_b = measure_pipeline_rtf(model_bf16, params, seconds=5.0,
+                                         batch=b, n_steps=1, solver="euler",
+                                         iters=3)
+            print(json.dumps({
+                "metric": f"flowdec75m_pipeline_rtf_nfe1_batch{b}",
+                "value": round(rtf_b, 2), "unit": "x_realtime",
+                "vs_baseline": round(rtf_b / 50.0, 3)}))
+        # codec decode-only (codes → waveform), the pipeline's codec share
+        rtf_dec = measure_codec_decode_rtf(seconds=10.0)
+        print(json.dumps({"metric": "ndac_decode_rtf_10s",
+                          "value": round(rtf_dec, 2), "unit": "x_realtime",
+                          "vs_baseline": round(rtf_dec / 50.0, 3)}))
         # enhance-only (no codec) at the distilled operating point
         rtf_n1 = measure_rtf(model_bf16, params, seconds=5.0, batch=8,
                              n_steps=1, solver="euler", iters=3)

@@ -43,7 +43,7 @@ def cast_codec_params(params, dtype) -> dict:
     Flax conv/dense ops follow their operand dtypes, so a bf16 param tree +
     bf16 input runs the whole decode on the MXU in bf16 (mirrors
     EnhancementModel.cast_for_compute). Integer leaves (codes) are untouched.
-    The serving pipeline (bench.py, scripts/demo.py --codec-dtype) casts the
+    The serving pipeline (bench.py measure_pipeline_rtf) casts the
     decoded waveform back to float32 before the postfilter's preprocess.
     """
     dt = jnp.dtype(dtype)

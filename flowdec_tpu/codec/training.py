@@ -15,7 +15,13 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flowdec_tpu.losses import MelSpectrogramLoss, MultiScaleSTFTLoss, WaveformL1Loss
+from flowdec_tpu.losses import (
+    ComplexSTFTLoss,
+    MelSpectrogramLoss,
+    MultiScaleSTFTLoss,
+    SNRLoss,
+    WaveformL1Loss,
+)
 from flowdec_tpu.parallel.mesh import DATA_AXIS
 from flowdec_tpu.train.state import TrainState
 
@@ -38,8 +44,9 @@ def codec_optimizer(
     commitment/codebook terms are huge (random codebooks vs a live encoder,
     ~1e3 on real 48 kHz audio) and grow geometrically for the first steps —
     unclipped, the first real campaign NaN'd by step 50. One builder shared
-    by scripts/train_codec.py and load_codec so checkpoint opt_state trees
-    always match."""
+    by scripts/train_codec.py and load_codec; the training CLI records its
+    (lr, grad_clip) in config.json so load_codec rebuilds the same opt_state
+    tree structure."""
     adam = optax.adamw(lr, b1=0.8, b2=0.99, weight_decay=1e-2)
     if grad_clip is None:
         return adam
@@ -55,14 +62,30 @@ class CodecLossWeights:
         mel: float = 15.0,
         stft: float = 1.0,
         waveform: float = 1.0,
+        complex_stft: float = 1.0,
+        snr: float = 0.0,
         commitment: float = 0.25,
         codebook: float = 1.0,
     ):
         self.mel = mel
         self.stft = stft
         self.waveform = waveform
+        # phase-aware terms: magnitude-only training left the r3 codec at
+        # SI-SDR −40 dB (phase never constrained). complex_stft penalizes
+        # phase rotation per bin (losses.ComplexSTFTLoss); snr is the direct
+        # time-domain alignment objective (losses.SNRLoss), self-normalizing
+        # where waveform L1's gradient gets swamped by the spectral terms.
+        self.complex_stft = complex_stft
+        self.snr = snr
         self.commitment = commitment
         self.codebook = codebook
+
+    def as_dict(self) -> dict:
+        return dict(
+            mel=self.mel, stft=self.stft, waveform=self.waveform,
+            complex_stft=self.complex_stft, snr=self.snr,
+            commitment=self.commitment, codebook=self.codebook,
+        )
 
 
 def create_codec_train_state(codec, key, optimizer, *, length: int = 8192) -> TrainState:
@@ -83,12 +106,22 @@ def load_codec(ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None):
     from flowdec_tpu.codec.ndac import NDAC, NDACConfig
     from flowdec_tpu.train.checkpoints import CheckpointManager, load_config_json
 
-    raw = dict(load_config_json(ckpt_dir)["codec"])
+    full_cfg = load_config_json(ckpt_dir)
+    raw = dict(full_cfg["codec"])
     raw["encoder_rates"] = tuple(raw["encoder_rates"])  # JSON arrays → tuple
     cfg = NDACConfig(**raw)
     codec = NDAC(cfg)
+    # Rebuild the optimizer from the RECORDED settings so the restore
+    # template's opt_state tree matches what the checkpoint saved (a
+    # --grad-clip 0 run saves a bare-adamw state; the default clip-wrapped
+    # template would fail StandardRestore). Checkpoints from before the
+    # settings were recorded fall back to the defaults they were trained with.
+    opt_cfg = full_cfg.get("optimizer", {})
+    optimizer = codec_optimizer(
+        opt_cfg.get("lr", 1e-4), grad_clip=opt_cfg.get("grad_clip", 1.0)
+    )
     state = create_codec_train_state(
-        codec, jax.random.PRNGKey(0), codec_optimizer(), length=8 * cfg.hop_length
+        codec, jax.random.PRNGKey(0), optimizer, length=8 * cfg.hop_length
     )
     mgr = CheckpointManager(ckpt_dir)
     state = mgr.restore(state, step=step)
@@ -116,6 +149,8 @@ def make_codec_train_step(
     mel_loss = MelSpectrogramLoss(sampling_rate=sr)
     stft_loss = MultiScaleSTFTLoss()
     wav_loss = WaveformL1Loss()
+    cstft_loss = ComplexSTFTLoss()
+    snr_loss = SNRLoss()
 
     n_codebooks = codec.config.n_codebooks
 
@@ -134,6 +169,8 @@ def make_codec_train_step(
                 "loss/mel": mel_loss(recon, x),
                 "loss/stft": stft_loss(recon, x),
                 "loss/waveform": wav_loss(recon, x),
+                "loss/complex_stft": cstft_loss(recon, x),
+                "loss/snr": snr_loss(recon, x),
                 "vq/commitment_loss": out["vq/commitment_loss"],
                 "vq/codebook_loss": out["vq/codebook_loss"],
             }
@@ -141,6 +178,8 @@ def make_codec_train_step(
                 w.mel * losses["loss/mel"]
                 + w.stft * losses["loss/stft"]
                 + w.waveform * losses["loss/waveform"]
+                + w.complex_stft * losses["loss/complex_stft"]
+                + w.snr * losses["loss/snr"]
                 + w.commitment * losses["vq/commitment_loss"]
                 + w.codebook * losses["vq/codebook_loss"]
             )

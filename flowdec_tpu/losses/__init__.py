@@ -12,6 +12,8 @@ audiotype (e.g. PESQ on speech only, reference losses.py:15).
 """
 
 from flowdec_tpu.losses.spectral import (
+    ComplexSTFTLoss,
+    SNRLoss,
     CQTLoss,
     MelSpectrogramLoss,
     MultiScaleSTFTLoss,
@@ -22,6 +24,8 @@ from flowdec_tpu.losses.pesq import TorchPESQSpeechLoss
 from flowdec_tpu.losses.pesq_jax import PesqSurrogateLoss
 
 __all__ = [
+    "ComplexSTFTLoss",
+    "SNRLoss",
     "CQTLoss",
     "MelSpectrogramLoss",
     "MultiScaleSTFTLoss",

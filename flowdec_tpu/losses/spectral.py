@@ -29,6 +29,8 @@ from flowdec_tpu.ops.cpair import cabs2
 
 __all__ = [
     "MultiScaleSTFTLoss",
+    "ComplexSTFTLoss",
+    "SNRLoss",
     "MelSpectrogramLoss",
     "CQTLoss",
     "WaveformL1Loss",
@@ -188,6 +190,55 @@ def _cqt_kernels_np(
         if s > 0:
             kernels[k] /= s
     return kernels
+
+
+@dataclasses.dataclass(frozen=True)
+class ComplexSTFTLoss:
+    """Multi-scale L1 on the COMPLEX STFT residual — the phase-aware
+    reconstruction term for non-adversarial codec training.
+
+    Magnitude-only losses (mel / multi-scale |STFT|) leave phase completely
+    unconstrained: the r3 NDAC trained on them alone autoencoded at SI-SDR
+    −40 dB (spectrally structured, phase random — CAMPAIGN.md r3 §2). The
+    residual magnitude |Ẑ−Z| penalizes phase rotation in exact proportion to
+    the bin's energy and stays well-conditioned where waveform L1 is not
+    (broadband misalignment averages out in the time domain). The DAC/Vocos
+    literature's non-GAN phase recipe. Grad-safe at zero residual
+    (sqrt(+eps), see _magnitude)."""
+
+    window_lengths: Tuple[int, ...] = (2048, 1024, 512, 256)
+    weight: float = 1.0
+
+    def __call__(self, x_hat: jax.Array, x: jax.Array) -> jax.Array:
+        loss = 0.0
+        for w in self.window_lengths:
+            window = _periodic_hann(w)
+            z_hat = stft_pair(x_hat, window, hop_length=w // 4, center=True)
+            z = stft_pair(x, window, hop_length=w // 4, center=True)
+            loss += jnp.mean(jnp.sqrt(cabs2(z_hat - z) + 1e-12))
+        return self.weight * loss
+
+
+@dataclasses.dataclass(frozen=True)
+class SNRLoss:
+    """Negative time-domain SNR in dB: −10·log₁₀(‖x‖²/‖x̂−x‖²), per sample.
+
+    The direct waveform-alignment objective for non-adversarial codec
+    training: the log makes the gradient self-normalizing (∂/∂x̂ ∝ e/‖e‖²),
+    so it keeps pushing as the residual shrinks where an L1 term's gradient
+    stays constant-scale and gets swamped by the spectral terms. Scale-
+    DEPENDENT on purpose (a codec must reproduce level, so no SI projection).
+    eps bounds both logs: silence-robust and ≤~80 dB dynamic range.
+    """
+
+    weight: float = 1.0
+    eps: float = 1e-8
+
+    def __call__(self, x_hat: jax.Array, x: jax.Array) -> jax.Array:
+        sig = jnp.sum(jnp.square(x), axis=-1)
+        err = jnp.sum(jnp.square(x_hat - x), axis=-1)
+        snr_db = 10.0 * (jnp.log10(sig + self.eps) - jnp.log10(err + self.eps))
+        return self.weight * jnp.mean(-snr_db)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,13 @@ def tp_param_shardings(
         shape = getattr(x, "shape", ())
         if not shape or shape[-1] < max(min_channels, n) or shape[-1] % n:
             return NamedSharding(mesh, P())
+        if len(shape) >= 2 and shape[-2] < min_channels:
+            # tiny-fan-in kernels (the 4→nf INPUT conv) gain nothing from
+            # output sharding, and under the composed sp×tp layout the
+            # spatially-partitioned conv asks for a kernel resharding that the
+            # partitioner can only satisfy by full rematerialization
+            # (MULTICHIP_r03 tail warning); replicated, its slice is free
+            return NamedSharding(mesh, P())
         spec = [None] * (len(shape) - 1) + [axis]
         return NamedSharding(mesh, P(*spec))
 

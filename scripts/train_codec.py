@@ -42,6 +42,23 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--ckpt-every", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)
+    # loss mix (CodecLossWeights defaults; --w-complex-stft is the phase-aware
+    # term — magnitude-only training left the r3 codec at SI-SDR −40 dB)
+    parser.add_argument("--w-mel", type=float, default=15.0)
+    parser.add_argument("--w-stft", type=float, default=1.0)
+    parser.add_argument("--w-waveform", type=float, default=1.0)
+    parser.add_argument("--w-complex-stft", type=float, default=1.0)
+    parser.add_argument("--w-snr", type=float, default=0.0)
+    parser.add_argument("--w-commitment", type=float, default=0.25)
+    parser.add_argument("--w-codebook", type=float, default=1.0)
+    # periodic held-out autoencode eval (reports the SI-SDR/LogSpecMSE
+    # trajectory the r3 campaign was missing)
+    parser.add_argument("--valid-pairs", help="pairs file; clean side is "
+                        "autoencoded at --eval-nq every --eval-every steps")
+    parser.add_argument("--eval-every", type=int, default=1000)
+    parser.add_argument("--eval-nq", type=int, default=10)
+    parser.add_argument("--eval-files", type=int, default=6)
+    parser.add_argument("--eval-seconds", type=float, default=1.92)
     args = parser.parse_args(argv)
 
     import jax
@@ -87,16 +104,86 @@ def main(argv=None):
         codec, jax.random.PRNGKey(args.seed), optimizer, length=crop
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
-    step_fn = make_codec_train_step(
-        codec, optimizer, weights=CodecLossWeights(), mesh=mesh
+    weights = CodecLossWeights(
+        mel=args.w_mel, stft=args.w_stft, waveform=args.w_waveform,
+        complex_stft=args.w_complex_stft, snr=args.w_snr,
+        commitment=args.w_commitment,
+        codebook=args.w_codebook,
     )
+    step_fn = make_codec_train_step(codec, optimizer, weights=weights, mesh=mesh)
     ckpt = CheckpointManager(
         args.ckpt_dir, last_every_n_steps=args.ckpt_every,
         snapshot_every_n_steps=10 * args.ckpt_every,
-        config={"codec": cfg.__dict__},
+        # optimizer settings recorded so load_codec can rebuild the exact
+        # opt_state tree structure (grad_clip=0 saves a bare-adamw state
+        # that a default clip-wrapped template would fail to restore)
+        config={
+            "codec": cfg.__dict__,
+            "optimizer": {"lr": args.lr, "grad_clip": args.grad_clip or None},
+            "loss_weights": weights.as_dict(),
+        },
     )
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+
+    # held-out autoencode eval: fixed-shape batch of the first --eval-files
+    # clean validation files, full product path result ≙ forward() at eval_nq,
+    # SI-SDR + LogSpecMSE on host (the r3 campaign had no quality trajectory)
+    eval_x = None
+    if args.valid_pairs:
+        from flowdec_tpu.data.wavio import read_wav
+        from flowdec_tpu.eval.metrics import LogSpecMSE, SISXR
+
+        m_sisdr, m_lsm = SISXR(args.sr), LogSpecMSE(args.sr)
+        eval_len = int(args.eval_seconds * args.sr)
+        eval_len += (-eval_len) % cfg.hop_length
+        rows = []
+        with open(args.valid_pairs) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                wav, sr = read_wav(line.split(",")[0].strip())
+                assert sr == args.sr
+                x = np.mean(wav, axis=0) if wav.ndim > 1 else wav
+                if x.shape[-1] < eval_len:
+                    x = np.pad(x, (0, eval_len - x.shape[-1]))
+                rows.append(x[:eval_len].astype(np.float32))
+                if len(rows) >= args.eval_files:
+                    break
+        eval_x = jnp.asarray(np.stack(rows))
+
+        @jax.jit
+        def autoencode(params, x):
+            return codec.apply(params, x, args.eval_nq)["audio"]
+
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        eval_log = open(os.path.join(args.ckpt_dir, "codec_eval.jsonl"), "a")
+
+        last_eval = [-1]
+
+        def run_eval(step):
+            if step == last_eval[0]:
+                return
+            last_eval[0] = step
+            # evaluate BOTH trees: weight-EMA is destructive for this
+            # nonlinear decoder (snake activations + live VQ codebooks — the
+            # averaged weights decode near-silence; measured r4: EMA
+            # LogSpecMSE 666 vs raw 159 at the same step), so raw params are
+            # the product codec; EMA is kept for trajectory smoothing only
+            clean = np.asarray(eval_x)
+            row = {"step": step}
+            for tag, params in (("ema", state.ema_params), ("raw", state.params)):
+                recon = np.asarray(autoencode(params, eval_x))
+                sisdr = float(np.mean(
+                    [m_sisdr(r, c, r)[0] for r, c in zip(recon, clean)]))
+                lsm = float(np.mean([m_lsm(r, c) for r, c in zip(recon, clean)]))
+                row[f"si_sdr_{tag}"] = sisdr
+                row[f"logspec_mse_{tag}"] = lsm
+                log.info(f"eval step {step} (nq={args.eval_nq}, {tag}): "
+                         f"SI-SDR {sisdr:.2f} dB, LogSpecMSE {lsm:.1f}")
+            import json
+            eval_log.write(json.dumps(row) + "\n")
+            eval_log.flush()
 
     key = jax.random.PRNGKey(args.seed + 1)
     step = int(state.step)
@@ -122,10 +209,16 @@ def main(argv=None):
                     f"step {step}: total={float(metrics['loss/total']):.3f} "
                     f"mel={float(metrics['loss/mel']):.3f} "
                     f"stft={float(metrics['loss/stft']):.3f} "
+                    f"cstft={float(metrics['loss/complex_stft']):.3f} "
+                    f"wav={float(metrics['loss/waveform']):.3f} "
                     f"({sps:.2f} steps/s)"
                 )
+            if eval_x is not None and step % args.eval_every == 0:
+                run_eval(step)
             ckpt.maybe_save(state)
         epoch += 1
+    if eval_x is not None:
+        run_eval(step)
     ckpt.maybe_save(state, force=True)
     ckpt.wait()
     log.info(f"done at step {step}; checkpoints in {args.ckpt_dir}")

@@ -197,6 +197,45 @@ def test_spectral_losses_behave():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_snr_and_complex_stft_losses():
+    """Phase-aware codec terms (r4): SNRLoss matches closed-form SNR and both
+    losses are monotone in noise + grad-safe at zero residual (the exact
+    failure mode that NaN'd the first codec campaign for the magnitude
+    losses)."""
+    from flowdec_tpu.losses import ComplexSTFTLoss, SNRLoss
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4096)) * 0.1, jnp.float32)
+    noisy = x + 0.01 * jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    worse = x + 0.05 * jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+
+    snr = SNRLoss()
+    # closed form: loss = -10 log10(||x||^2 / ||e||^2) averaged over batch
+    e = np.asarray(noisy - x)
+    xn = np.asarray(x)
+    expect = float(np.mean(-10.0 * np.log10(
+        (xn ** 2).sum(-1) / (e ** 2).sum(-1))))
+    assert abs(float(snr(noisy, x)) - expect) < 1e-3
+    assert float(snr(noisy, x)) < float(snr(worse, x))
+    # eps-floored at identical inputs, far below any real value
+    assert float(snr(x, x)) < -80.0
+
+    cstft = ComplexSTFTLoss(window_lengths=(512, 256))
+    assert float(cstft(x, x)) < float(cstft(noisy, x)) < float(cstft(worse, x))
+
+    # a PURE PHASE error must move both losses (the gap magnitude-only
+    # losses cannot see): circular-shift the signal by a few samples
+    shifted = jnp.roll(x, 3, axis=-1)
+    assert float(cstft(shifted, x)) > 10 * float(cstft(x, x))
+    assert float(snr(shifted, x)) > -10.0  # shifted speech ~ decorrelated
+
+    for loss in (snr, cstft):
+        g = jax.grad(lambda a: loss(a, x))(x)  # zero residual
+        assert np.all(np.isfinite(np.asarray(g)))
+        g = jax.grad(lambda a: loss(a, x))(noisy)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_pesq_loss_gated():
     from flowdec_tpu.losses import TorchPESQSpeechLoss
 
