@@ -69,6 +69,14 @@ def main(argv=None):
     parser.add_argument("--chunk-seconds", type=float, default=30.0,
                         help="chunked streaming above this length (0 = single-shot)")
     parser.add_argument("--overlap-seconds", type=float, default=1.0)
+    parser.add_argument("--compute-dtype", default=None,
+                        help="backbone compute dtype for inference (e.g. "
+                        "bfloat16; default: checkpoint config / f32)")
+    parser.add_argument("--cast-preprocess", action="store_true",
+                        help="run the feature chain (STFT/compress/normalize "
+                        "and inverse) in --compute-dtype too — the serving "
+                        "configuration bench.py measures; noise draws stay "
+                        "dtype-invariant (ops/cpair.py crandn)")
     args = parser.parse_args(argv)
 
     import jax
@@ -104,6 +112,10 @@ def main(argv=None):
         model, params, _cfg = load_torch_checkpoint(args.ckpt, ema=args.ema)
     else:
         model, params, _cfg = load_model(args.ckpt, ema=args.ema)
+    if args.compute_dtype:
+        model = model.replace(compute_dtype=args.compute_dtype)
+    if args.cast_preprocess:
+        model = model.replace(cast_preprocess=True)
     sr = model.sampling_rate
 
     if isinstance(model, ScoreModel):

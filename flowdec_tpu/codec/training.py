@@ -136,6 +136,7 @@ def make_codec_train_step(
     weights: Optional[CodecLossWeights] = None,
     ema_decay: float = 0.999,
     n_quantizers_dropout: bool = True,
+    nq_min: int = 1,
     mesh: Optional[Mesh] = None,
 ):
     """Jitted codec step: (state, x_batch, key) → (state, metrics).
@@ -143,6 +144,9 @@ def make_codec_train_step(
     n_quantizers_dropout=True trains all bitrates jointly (the DAC quantizer-
     dropout recipe): each SAMPLE uses a random prefix length of codebooks,
     drawn inside the jitted step (per-sample masking, one compiled graph).
+    nq_min raises the dropout's lower bound: ultra-low-bitrate samples
+    (nq 1-3) can never waveform-align and dilute the phase/alignment
+    gradient during an alignment-focused stage.
     """
     w = weights or CodecLossWeights()
     sr = codec.config.sampling_rate
@@ -157,7 +161,7 @@ def make_codec_train_step(
     def step_fn(state: TrainState, x: jax.Array, key: jax.Array, n_quantizers=None):
         key, nq_key = jax.random.split(key)
         nq_per_sample = (
-            jax.random.randint(nq_key, (x.shape[0],), 1, n_codebooks + 1)
+            jax.random.randint(nq_key, (x.shape[0],), nq_min, n_codebooks + 1)
             if n_quantizers_dropout and n_quantizers is None
             else None
         )

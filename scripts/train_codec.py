@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--w-snr", type=float, default=0.0)
     parser.add_argument("--w-commitment", type=float, default=0.25)
     parser.add_argument("--w-codebook", type=float, default=1.0)
+    parser.add_argument("--nq-min", type=int, default=1,
+                        help="quantizer-dropout lower bound (raise for an "
+                        "alignment-focused stage: nq 1-3 samples can never "
+                        "waveform-align and dilute the phase gradient)")
     # periodic held-out autoencode eval (reports the SI-SDR/LogSpecMSE
     # trajectory the r3 campaign was missing)
     parser.add_argument("--valid-pairs", help="pairs file; clean side is "
@@ -110,7 +114,9 @@ def main(argv=None):
         commitment=args.w_commitment,
         codebook=args.w_codebook,
     )
-    step_fn = make_codec_train_step(codec, optimizer, weights=weights, mesh=mesh)
+    step_fn = make_codec_train_step(
+        codec, optimizer, weights=weights, nq_min=args.nq_min, mesh=mesh
+    )
     ckpt = CheckpointManager(
         args.ckpt_dir, last_every_n_steps=args.ckpt_every,
         snapshot_every_n_steps=10 * args.ckpt_every,

@@ -421,6 +421,36 @@ def test_quantizer_dropout_per_sample(codec_and_params):
     np.testing.assert_allclose(np.asarray(z_mixed[1]), np.asarray(z_full[0]), atol=1e-5)
 
 
+def test_train_step_nq_min_floor(codec_and_params):
+    """nq_min raises the quantizer-dropout floor (alignment-stage recipe):
+    with nq_min == n_codebooks every sample must use the FULL stack, i.e. the
+    step behaves exactly like a no-dropout step under the same key."""
+    import optax
+    from flowdec_tpu.codec import (CodecLossWeights, create_codec_train_state,
+                                   make_codec_train_step)
+
+    codec, _ = codec_and_params
+    optimizer = optax.adam(3e-4)
+    weights = CodecLossWeights(mel=1.0, stft=1.0, waveform=1.0)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 640)) * 0.1, jnp.float32)
+
+    def one_step(**kw):
+        state = create_codec_train_state(
+            codec, jax.random.PRNGKey(0), optimizer, length=640)
+        step = make_codec_train_step(codec, optimizer, weights=weights, **kw)
+        _, metrics = step(state, x, jax.random.PRNGKey(3))
+        return metrics
+
+    m_floor = one_step(nq_min=TINY.n_codebooks)
+    m_nodrop = one_step(n_quantizers_dropout=False)
+    np.testing.assert_allclose(float(m_floor["loss/total"]),
+                               float(m_nodrop["loss/total"]), rtol=1e-5)
+    # and a floored draw differs from the unfloored one (dropout still live)
+    m_free = one_step(nq_min=1)
+    assert float(m_free["loss/total"]) != float(m_floor["loss/total"])
+
+
 # --------------------------------------------------------------------------
 # differentiable PESQ surrogate (losses/pesq_jax.py)
 # --------------------------------------------------------------------------
