@@ -114,6 +114,15 @@ def make_sp_tp_enhance(
     feat_spec = NamedSharding(mesh, P(None, None, DATA_AXIS, None))  # (B,F,T,2)
 
     def _enhance(params, key, y):
+        # Known-benign GSPMD warning on this path: the partitioner reports
+        # "involuntary full rematerialization" for the INPUT conv kernel
+        # (shape (3,3,4,nf)) because its two uses inside the sampler loop
+        # demand conflicting layouts (channel-sharded from the conv output
+        # vs spatial-partition layout). Entry-level with_sharding_constraint
+        # pinning cannot remove it (the conflict is between internal uses —
+        # verified r4), and the cost is bounded by the kernel size itself:
+        # 3·3·4·nf f32 = 18 KB at nf=128, regathered once per sampler step
+        # over ICI — noise next to the MB-scale activation collectives.
         window = model.stft_window(params)
         Y, _, info = model.preprocess(y, window=window)
         Y = jax.lax.with_sharding_constraint(Y, feat_spec)
