@@ -30,6 +30,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Default to CPU: each pair is two tiny 2-second STFTs — host-scale work.
+# On the remote-TPU tunnel the per-call round-trip latency dominates and a
+# 400-pair estimation that takes <1 min on CPU ran >40 min (round-4 chain
+# log). Respect an explicit JAX_PLATFORMS if the caller set one.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 N_SAMPLES = 2500
 SECONDS = 2
 SEED = 302
