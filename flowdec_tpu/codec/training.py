@@ -35,7 +35,11 @@ __all__ = [
 
 
 def codec_optimizer(
-    lr: float = 1e-4, *, grad_clip: Optional[float] = 1.0
+    lr: float = 1e-4,
+    *,
+    grad_clip: Optional[float] = 1.0,
+    lr2: Optional[float] = None,
+    switch_step: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """The codec training optimizer: AdamW(0.8, 0.99, wd=1e-2) behind
     global-norm gradient clipping (torch DAC trains with AdamW too; the
@@ -46,7 +50,21 @@ def codec_optimizer(
     unclipped, the first real campaign NaN'd by step 50. One builder shared
     by scripts/train_codec.py and load_codec; the training CLI records its
     (lr, grad_clip) in config.json so load_codec rebuilds the same opt_state
-    tree structure."""
+    tree structure.
+
+    lr2/switch_step build a piecewise-constant schedule (lr until
+    switch_step, then lr2): the measured v3→v4 codec recipe — alignment
+    losses peak at lr 1e-4 then drift from RVQ codebook churn; a cold
+    3e-5 refine recovers and surpasses the peak (CAMPAIGN.md r4 §2-3) —
+    in ONE run and ONE compiled graph instead of two runs with a second
+    10-15 min remote compile between them."""
+    if lr2 is not None:
+        if switch_step is None:
+            raise ValueError("lr2 requires switch_step")
+        lr = optax.join_schedules(
+            [optax.constant_schedule(lr), optax.constant_schedule(lr2)],
+            [switch_step],
+        )
     adam = optax.adamw(lr, b1=0.8, b2=0.99, weight_decay=1e-2)
     if grad_clip is None:
         return adam
@@ -118,7 +136,10 @@ def load_codec(ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None):
     # settings were recorded fall back to the defaults they were trained with.
     opt_cfg = full_cfg.get("optimizer", {})
     optimizer = codec_optimizer(
-        opt_cfg.get("lr", 1e-4), grad_clip=opt_cfg.get("grad_clip", 1.0)
+        opt_cfg.get("lr", 1e-4),
+        grad_clip=opt_cfg.get("grad_clip", 1.0),
+        lr2=opt_cfg.get("lr2"),
+        switch_step=opt_cfg.get("switch_step"),
     )
     state = create_codec_train_state(
         codec, jax.random.PRNGKey(0), optimizer, length=8 * cfg.hop_length

@@ -35,10 +35,25 @@ def main(argv=None):
     parser.add_argument("--crop-seconds", type=float, default=0.38,
                         help="training crop (DAC uses ~0.38 s)")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr2", type=float, default=None,
+                        help="second-stage lr; with --lr-switch builds the "
+                        "measured peak-then-cold-refine schedule (CAMPAIGN.md "
+                        "r4: 1e-4 peaks alignment by ~6k steps, then RVQ "
+                        "codebook churn decays it; 3e-5 recovers) in one run")
+    parser.add_argument("--lr-switch", type=int, default=None,
+                        help="step at which lr switches to --lr2")
     parser.add_argument("--grad-clip", type=float, default=1.0,
                         help="global grad-norm clip (the RVQ terms explode "
                              "unclipped at init); pass 0 to disable")
     parser.add_argument("--sr", type=int, default=48000)
+    # codec geometry (defaults = NDAC 48 kHz full-band; smaller values train
+    # compact codecs and make CPU smoke-drives of this CLI tractable)
+    parser.add_argument("--encoder-dim", type=int, default=None)
+    parser.add_argument("--decoder-dim", type=int, default=None)
+    parser.add_argument("--latent-dim", type=int, default=None)
+    parser.add_argument("--n-codebooks", type=int, default=None)
+    parser.add_argument("--encoder-rates", default=None,
+                        help="comma list, e.g. 2,4,8,10 (product = hop)")
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--ckpt-every", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)
@@ -82,7 +97,14 @@ def main(argv=None):
     from flowdec_tpu.train.checkpoints import CheckpointManager
     from flowdec_tpu.utils.logging import log
 
-    cfg = NDACConfig(sampling_rate=args.sr)
+    geo = {
+        k: getattr(args, k)
+        for k in ("encoder_dim", "decoder_dim", "latent_dim", "n_codebooks")
+        if getattr(args, k) is not None
+    }
+    if args.encoder_rates:
+        geo["encoder_rates"] = tuple(int(r) for r in args.encoder_rates.split(","))
+    cfg = NDACConfig(sampling_rate=args.sr, **geo)
     crop = int(args.crop_seconds * args.sr)
     crop += (-crop) % cfg.hop_length  # hop-aligned crops (no padding in-loop)
     crop_seconds = crop / args.sr
@@ -103,7 +125,10 @@ def main(argv=None):
     )
 
     codec = NDAC(cfg)
-    optimizer = codec_optimizer(args.lr, grad_clip=args.grad_clip or None)
+    optimizer = codec_optimizer(
+        args.lr, grad_clip=args.grad_clip or None,
+        lr2=args.lr2, switch_step=args.lr_switch,
+    )
     state = create_codec_train_state(
         codec, jax.random.PRNGKey(args.seed), optimizer, length=crop
     )
@@ -125,7 +150,8 @@ def main(argv=None):
         # that a default clip-wrapped template would fail to restore)
         config={
             "codec": cfg.__dict__,
-            "optimizer": {"lr": args.lr, "grad_clip": args.grad_clip or None},
+            "optimizer": {"lr": args.lr, "grad_clip": args.grad_clip or None,
+                          "lr2": args.lr2, "switch_step": args.lr_switch},
             "loss_weights": weights.as_dict(),
         },
     )
@@ -165,6 +191,22 @@ def main(argv=None):
         os.makedirs(args.ckpt_dir, exist_ok=True)
         eval_log = open(os.path.join(args.ckpt_dir, "codec_eval.jsonl"), "a")
 
+        # best-raw-SI-SDR keeper: the v3 campaign's 4-6k-step peak
+        # checkpoints were rotated out of last/ before anyone could archive
+        # them (CAMPAIGN.md r4 §2); this pins the best eval point in its own
+        # single-slot manager, loadable via load_codec(ckpt_dir + "/best").
+        best_mgr = CheckpointManager(
+            os.path.join(args.ckpt_dir, "best"), last_every_n_steps=0,
+            snapshot_every_n_steps=0,
+            config={
+                "codec": cfg.__dict__,
+                "optimizer": {"lr": args.lr, "grad_clip": args.grad_clip or None,
+                              "lr2": args.lr2, "switch_step": args.lr_switch},
+                "loss_weights": weights.as_dict(),
+            },
+        )
+        best_sisdr = [-1e9]
+
         last_eval = [-1]
 
         def run_eval(step):
@@ -190,6 +232,11 @@ def main(argv=None):
             import json
             eval_log.write(json.dumps(row) + "\n")
             eval_log.flush()
+            if row["si_sdr_raw"] > best_sisdr[0]:
+                best_sisdr[0] = row["si_sdr_raw"]
+                best_mgr.maybe_save(state, force=True)
+                log.info(f"new best raw SI-SDR {row['si_sdr_raw']:.2f} dB "
+                         f"at step {step} → {args.ckpt_dir}/best")
 
     key = jax.random.PRNGKey(args.seed + 1)
     step = int(state.step)

@@ -309,6 +309,49 @@ def test_load_codec_roundtrip(tmp_path):
     )
 
 
+def test_codec_optimizer_lr_schedule(tmp_path):
+    """codec_optimizer(lr2, switch_step) = the measured v3→v4 recipe in one
+    graph: lr until switch_step, then the cold refine lr (CAMPAIGN.md r4
+    §2-3). Also: load_codec rebuilds the SCHEDULED opt_state tree from the
+    recorded settings — a schedule adds a count to scale_by_learning_rate's
+    state, so a constant-lr template would fail StandardRestore."""
+    from flowdec_tpu.codec import codec_optimizer, create_codec_train_state, load_codec
+    from flowdec_tpu.train.checkpoints import CheckpointManager
+
+    opt = codec_optimizer(1e-4, grad_clip=None, lr2=3e-5, switch_step=2)
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    scales = []
+    for _ in range(4):
+        up, st = opt.update({"w": jnp.ones(3)}, st, params)
+        scales.append(abs(float(up["w"][0])))
+    # steps 0-1 at ~1e-4, steps 2-3 at ~3e-5 (AdamW wd shifts magnitude ~1%)
+    assert scales[0] == pytest.approx(1e-4, rel=0.05)
+    assert scales[1] == pytest.approx(1e-4, rel=0.05)
+    assert scales[2] == pytest.approx(3e-5, rel=0.05)
+    assert scales[3] == pytest.approx(3e-5, rel=0.05)
+
+    codec = NDAC(TINY)
+    optimizer = codec_optimizer(1e-4, lr2=3e-5, switch_step=2)
+    state = create_codec_train_state(codec, jax.random.PRNGKey(3), optimizer, length=640)
+    ckpt_dir = str(tmp_path / "ndac_sched")
+    mgr = CheckpointManager(
+        ckpt_dir, last_every_n_steps=1,
+        config={"codec": TINY.__dict__,
+                "optimizer": {"lr": 1e-4, "grad_clip": 1.0,
+                              "lr2": 3e-5, "switch_step": 2}},
+    )
+    mgr.maybe_save(state, force=True)
+    mgr.wait()
+    mgr.close()
+    _, params_raw, cfg = load_codec(ckpt_dir, ema=False)
+    assert cfg == TINY
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_raw, state.params,
+    )
+
+
 def test_code_corpus_cli(tmp_path):
     """scripts/code_corpus.py re-codes a corpus's coded side through a
     trained-NDAC checkpoint end to end: pairs files written, coded wavs
