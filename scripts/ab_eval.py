@@ -35,7 +35,8 @@ def main(argv=None):
     p.add_argument("--pairs", required=True, help="clean,coded filelist")
     p.add_argument("--delim", default=",")
     p.add_argument("--variant", action="append", required=True,
-                   help="label:ckpt_dir:N:solver (repeatable)")
+                   help="label:ckpt_dir:N:solver[:sigma_fac] (repeatable; "
+                        "sigma_fac scales the initial noise, default 1.0)")
     p.add_argument("--limit", type=int, default=0, help="cap #files (0=all)")
     p.add_argument("--sr", type=int, default=48000)
     p.add_argument("--seed", type=int, default=0)
@@ -88,14 +89,26 @@ def main(argv=None):
     print(f"coded input baseline: {results['coded_input']}")
 
     for spec in args.variant:
-        label, ckpt, n, solver = spec.rsplit(":", 3)
+        # label:ckpt:N:solver with an optional trailing :sigma_fac — a
+        # conservative operating point (sigma_fac<1 starts the bridge closer
+        # to the coded input) without retraining anything
+        parts = spec.rsplit(":", 4)
+        if len(parts) == 5:
+            try:
+                sigma_fac = float(parts[-1])
+                label, ckpt, n, solver = parts[:4]
+            except ValueError:
+                sigma_fac, (label, ckpt, n, solver) = 1.0, spec.rsplit(":", 3)
+        else:
+            sigma_fac, (label, ckpt, n, solver) = 1.0, parts
         model, params, _cfg = load_model(ckpt, ema=True)
         t0 = time.time()
 
-        def wav_fn(i, y, _m=model, _p=params, _n=int(n), _s=solver):
+        def wav_fn(i, y, _m=model, _p=params, _n=int(n), _s=solver,
+                   _sf=sigma_fac):
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
             return np.asarray(enhance_bucketed(
-                _m, _p, key, y, n_steps=_n, solver=_s))
+                _m, _p, key, y, n_steps=_n, solver=_s, sigma_fac=_sf))
 
         rows = rows_for(label, wav_fn)
         results[label] = summarize(rows)

@@ -47,6 +47,7 @@ run_stage "postfilter_ext$EXTEND_TO" 10800 2 python train.py \
 run_stage "ab_teacher_ext$EXTEND_TO" 5400 2 python scripts/ab_eval.py \
   --pairs "$NDAC2/test_pairs.txt" --delim , \
   --variant "teacher_N3:$CKPTS/ndac25b:3:midpoint" \
+  --variant "teacher_N3_s07:$CKPTS/ndac25b:3:midpoint:0.7" \
   --variant "teacher_N1:$CKPTS/ndac25b:1:euler" \
   --variant "teacher_N2:$CKPTS/ndac25b:2:euler" \
   --out "$REPO/AB_r04_teacher.json"

@@ -180,6 +180,29 @@ def test_evaluate_cli(workspace, tmp_path):
     assert np.isfinite(df["sisdr"]).all()
 
 
+def test_ab_eval_cli(workspace, tmp_path):
+    """A/B harness over a paired filelist: coded-input baseline + variants,
+    including the optional sigma_fac field (label:ckpt:N:solver:sigma_fac)."""
+    import importlib
+
+    ab_eval = importlib.import_module("scripts.ab_eval")
+    ckpt = str(workspace / "ckpts" / "cli_test")
+    out = str(tmp_path / "ab.json")
+    ab_eval.main([
+        "--pairs", str(workspace / "pairs.txt"), "--delim", ",",
+        "--sr", str(SR),
+        "--variant", f"v_N1:{ckpt}:1:euler",
+        "--variant", f"v_N1_s05:{ckpt}:1:euler:0.5",
+        "--out", out,
+    ])
+    res = json.load(open(out))
+    assert res["n_files"] == 4
+    for k in ("coded_input", "v_N1", "v_N1_s05"):
+        assert "sisdr" in res[k] and np.isfinite(res[k]["sisdr"])
+    # different sigma_fac ⇒ different noise injection ⇒ different outputs
+    assert res["v_N1"]["sisdr"] != res["v_N1_s05"]["sisdr"]
+
+
 def test_train_cli_finetune(workspace):
     """--finetune loads weights from an existing checkpoint but starts a new
     run at step 0 (reference train.py:54-57)."""
