@@ -65,7 +65,10 @@ def main(argv=None):
     if args.codec_ckpt:
         from flowdec_tpu.codec import load_codec
 
-        codec, codec_params, codec_cfg = load_codec(args.codec_ckpt, ema=True)
+        # raw weights: weight-EMA is destructive for the snake/VQ codec
+        # (measured r4: EMA decodes near-silence, LogSpecMSE 666 vs raw 159)
+        # — same default as code_corpus.py
+        codec, codec_params, codec_cfg = load_codec(args.codec_ckpt, ema=False)
     else:
         codec_cfg = NDACConfig()
         codec = NDAC(codec_cfg)

@@ -205,7 +205,25 @@ def main(argv=None):
                 "loss_weights": weights.as_dict(),
             },
         )
-        best_sisdr = [-1e9]
+        # seed the keeper from eval history: the run auto-resumes from last/
+        # (and the chains retry on timeout), so a fresh -1e9 would let the
+        # first post-resume eval overwrite best/ with a post-peak checkpoint
+        # — the exact rotation-loss scenario the keeper exists to prevent.
+        # codec_eval.jsonl is opened in append mode, so history survives.
+        best_seed = -1e9
+        hist_path = os.path.join(args.ckpt_dir, "codec_eval.jsonl")
+        if os.path.exists(hist_path):
+            import json as _json
+            with open(hist_path) as fh:
+                for line in fh:
+                    try:
+                        best_seed = max(
+                            best_seed, _json.loads(line).get("si_sdr_raw", -1e9))
+                    except ValueError:
+                        continue
+            if best_seed > -1e9:
+                log.info(f"best-keeper seeded from history: {best_seed:.2f} dB")
+        best_sisdr = [best_seed]
 
         last_eval = [-1]
 
@@ -274,6 +292,8 @@ def main(argv=None):
         run_eval(step)
     ckpt.maybe_save(state, force=True)
     ckpt.wait()
+    if args.valid_pairs:
+        best_mgr.wait()  # finalize any in-flight async save of best/
     log.info(f"done at step {step}; checkpoints in {args.ckpt_dir}")
 
 

@@ -106,15 +106,24 @@ trainer_options:
     return root
 
 
-def test_train_cli_then_enhance_cli(workspace):
-    import train as train_cli
+@pytest.fixture(scope="module")
+def trained_ckpt(workspace):
+    """The cli_test checkpoint, trained on demand — makes every dependent
+    test self-contained under isolation/reordering/xdist instead of relying
+    on test_train_cli_then_enhance_cli having run first."""
+    ckpt_dir = workspace / "ckpts" / "cli_test"
+    if not (ckpt_dir / "last").is_dir():
+        import train as train_cli
 
-    train_cli.main([
-        "--config-name", str(workspace / "configs" / "tiny.yaml"),
-        "--run-id", "cli_test",
-    ])
+        train_cli.main([
+            "--config-name", str(workspace / "configs" / "tiny.yaml"),
+            "--run-id", "cli_test",
+        ])
+    return str(ckpt_dir)
 
-    ckpt_dir = str(workspace / "ckpts" / "cli_test")
+
+def test_train_cli_then_enhance_cli(workspace, trained_ckpt):
+    ckpt_dir = trained_ckpt
     assert os.path.isdir(os.path.join(ckpt_dir, "last"))
     assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
     metrics_file = workspace / "runs" / "cli_test" / "metrics.jsonl"
@@ -139,7 +148,7 @@ def test_train_cli_then_enhance_cli(workspace):
     assert rtf_lines[0] == "path,runtime,filetime,rtf" and len(rtf_lines) == 3
 
 
-def test_train_cli_resume(workspace):
+def test_train_cli_resume(workspace, trained_ckpt):
     """Re-running the same command resumes from the last checkpoint."""
     import train as train_cli
 
@@ -180,17 +189,18 @@ def test_evaluate_cli(workspace, tmp_path):
     assert np.isfinite(df["sisdr"]).all()
 
 
-def test_ab_eval_cli(workspace, tmp_path):
+def test_ab_eval_cli(workspace, trained_ckpt, tmp_path):
     """A/B harness over a paired filelist: coded-input baseline + variants,
-    including the optional sigma_fac field (label:ckpt:N:solver:sigma_fac)."""
+    including the optional sigma_fac field (label:ckpt:N:solver:sigma_fac),
+    bootstrap CIs and paired per-file deltas."""
     import importlib
 
     ab_eval = importlib.import_module("scripts.ab_eval")
-    ckpt = str(workspace / "ckpts" / "cli_test")
+    ckpt = trained_ckpt
     out = str(tmp_path / "ab.json")
     ab_eval.main([
         "--pairs", str(workspace / "pairs.txt"), "--delim", ",",
-        "--sr", str(SR),
+        "--sr", str(SR), "--n-boot", "200",
         "--variant", f"v_N1:{ckpt}:1:euler",
         "--variant", f"v_N1_s05:{ckpt}:1:euler:0.5",
         "--out", out,
@@ -199,11 +209,19 @@ def test_ab_eval_cli(workspace, tmp_path):
     assert res["n_files"] == 4
     for k in ("coded_input", "v_N1", "v_N1_s05"):
         assert "sisdr" in res[k] and np.isfinite(res[k]["sisdr"])
+        lo, hi = res[k]["ci95"]["sisdr"]
+        assert lo <= res[k]["sisdr"] <= hi
     # different sigma_fac ⇒ different noise injection ⇒ different outputs
     assert res["v_N1"]["sisdr"] != res["v_N1_s05"]["sisdr"]
+    # paired deltas vs coded input with their own CIs
+    d = res["v_N1"]["delta_vs_coded"]["sisdr"]
+    assert d["ci95"][0] <= d["mean"] <= d["ci95"][1]
+    # malformed solver token must error, not silently mis-split
+    with pytest.raises(SystemExit):
+        ab_eval.parse_variant(f"bad:{ckpt}:1:42")
 
 
-def test_train_cli_finetune(workspace):
+def test_train_cli_finetune(workspace, trained_ckpt):
     """--finetune loads weights from an existing checkpoint but starts a new
     run at step 0 (reference train.py:54-57)."""
     import train as train_cli
@@ -211,7 +229,7 @@ def test_train_cli_finetune(workspace):
     train_cli.main([
         "--config-name", str(workspace / "configs" / "tiny.yaml"),
         "--run-id", "cli_ft",
-        "--resume-from-checkpoint", str(workspace / "ckpts" / "cli_test"),
+        "--resume-from-checkpoint", trained_ckpt,
         "--finetune",
         "trainer_options.max_steps=2",
     ])
