@@ -150,6 +150,26 @@ def load_codec(ckpt_dir: str, *, ema: bool = True, step: Optional[int] = None):
     return codec, state.eval_params(ema=ema), cfg
 
 
+def load_codec_archive(path: str):
+    """Load a codec from a scripts/archive_ckpt.py .npz archive.
+
+    The archive carries inference params only (raw tree by default — EMA is
+    destructive for this codec family) and the NDACConfig; it exists so the
+    trained-codec artifact can live IN the repo and survive scratch-disk
+    loss (CAMPAIGN.md r4 §7). Returns (codec, params, config) like
+    :func:`load_codec`.
+    """
+    from flowdec_tpu.codec.ndac import NDAC, NDACConfig
+    from flowdec_tpu.utils.archive import load_archive
+
+    params, config, _meta = load_archive(path)
+    raw = dict(config["codec"])
+    raw["encoder_rates"] = tuple(raw["encoder_rates"])
+    cfg = NDACConfig(**raw)
+    params = jax.tree.map(jnp.asarray, params)
+    return NDAC(cfg), params, cfg
+
+
 def make_codec_train_step(
     codec,
     optimizer: optax.GradientTransformation,

@@ -60,7 +60,13 @@ def main(argv=None):
     from flowdec_tpu.data.wavio import read_wav, write_wav
     from flowdec_tpu.utils.logging import log
 
-    codec, params, cfg = load_codec(args.codec_ckpt, ema=args.ema)
+    if args.codec_ckpt.endswith(".npz"):
+        # repo-archived codec (scripts/archive_ckpt.py): raw params + config
+        from flowdec_tpu.codec.training import load_codec_archive
+
+        codec, params, cfg = load_codec_archive(args.codec_ckpt)
+    else:
+        codec, params, cfg = load_codec(args.codec_ckpt, ema=args.ema)
     hop = cfg.hop_length
     log.info(f"NDAC loaded: nq={args.nq} ⇒ {cfg.kbps(args.nq):.2f} kbps, hop {hop}")
     if args.report:

@@ -62,7 +62,11 @@ def main(argv=None):
     x = jnp.asarray(wav, jnp.float32)  # (1, T)
 
     # --- codec ---
-    if args.codec_ckpt:
+    if args.codec_ckpt and args.codec_ckpt.endswith(".npz"):
+        from flowdec_tpu.codec.training import load_codec_archive
+
+        codec, codec_params, codec_cfg = load_codec_archive(args.codec_ckpt)
+    elif args.codec_ckpt:
         from flowdec_tpu.codec import load_codec
 
         # raw weights: weight-EMA is destructive for the snake/VQ codec
