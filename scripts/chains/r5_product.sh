@@ -74,7 +74,7 @@ fi
 
 # ---- S1: code the extra 36-file test2 split through the SAME codec that
 # coded corpus_ndac2 (distribution-consistent expansion to n=60) -------------
-run_stage code_test2 2700 2 python scripts/code_corpus.py \
+run_stage code_test2 3600 2 python scripts/code_corpus.py \
   --corpus "$CORPUS" --out "$NDAC2" --codec-ckpt "$CODEC/best" \
   --nq 10 --batch 8 --splits test2 --report
 if [ ! -s "$NDAC2/test_big_pairs.txt" ]; then
@@ -182,9 +182,22 @@ run_stage ab_r05 10800 2 python scripts/ab_eval.py \
   --out "$REPO/AB_r05.json"
 
 # ---- S8: BENCH_ALL r5 incl. the picked-op-point headline line --------------
-run_stage bench_r05 5400 2 bash -c \
-  "BENCH_ALL=1 BENCH_OP_POINT='$N:$SOLVER' python bench.py > '$REPO/BENCH_ALL_r05.json.tmp' \
-   && mv '$REPO/BENCH_ALL_r05.json.tmp' '$REPO/BENCH_ALL_r05.json'"
+# The r4 bench_copy2 lesson: BENCH_ALL cold-compiles several graphs (the
+# scratch wipe also wiped the persistent compile cache) and 3600 s timed out
+# mid-compile TWICE. Bigger budget, line-buffered tee so a timeout still
+# salvages every line measured so far, and the first attempt's compiles warm
+# the cache for the second.
+run_stage_soft bench_r05 7200 bash -c \
+  "BENCH_ALL=1 BENCH_OP_POINT='$N:$SOLVER' stdbuf -oL python bench.py \
+   | tee '$REPO/BENCH_ALL_r05.json.tmp'"
+if ! have bench_r05; then
+  rm -f "$WORK/bench_r05.done"
+  run_stage_soft bench_r05 5400 bash -c \
+    "BENCH_ALL=1 BENCH_OP_POINT='$N:$SOLVER' stdbuf -oL python bench.py \
+     | tee '$REPO/BENCH_ALL_r05.json.tmp'"
+fi
+grep '^{' "$REPO/BENCH_ALL_r05.json.tmp" > "$REPO/BENCH_ALL_r05.json" || true
+rm -f "$REPO/BENCH_ALL_r05.json.tmp"
 
 # ---- S9: time-boxed codec extension toward the +2 dB autoencode bar --------
 NOW=$(date +%s)
