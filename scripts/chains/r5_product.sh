@@ -116,6 +116,7 @@ run_stage sweep30k 7200 2 python scripts/ab_eval.py \
   --variant "N3_s10:$CKPTS/ndac25b:3:midpoint:1.0" \
   --variant "N3_s085:$CKPTS/ndac25b:3:midpoint:0.85" \
   --variant "N3_s07:$CKPTS/ndac25b:3:midpoint:0.7" \
+  --variant "N4_s10:$CKPTS/ndac25b:4:midpoint:1.0" \
   --variant "N6_s10:$CKPTS/ndac25b:6:midpoint:1.0" \
   --variant "N6_s085:$CKPTS/ndac25b:6:midpoint:0.85" \
   --variant "N6_s07:$CKPTS/ndac25b:6:midpoint:0.7" \
@@ -135,10 +136,15 @@ def tier(v):  # 2: dominates all three axes; 1: perceptual+spectral; 0: rest
     if d(v, "logspec_mse") < 0 and d(v, "estoi") > 0:
         return 1
     return 0
+def score(v):
+    # tier-0 fallback: balanced composite instead of raw max-ESTOI (which at
+    # 9k picked a point with 2x-worse spectra). Scales: 0.1 ESTOI ~ 20
+    # LogSpecMSE ~ 2 dB SI-SDR of practical significance.
+    return d(v, "estoi") - d(v, "logspec_mse") / 200.0 + d(v, "sisdr") / 20.0
 best_tier = max(tier(v) for v in cands.values())
 pool = {k: v for k, v in cands.items() if tier(v) == best_tier}
-key = "sisdr" if best_tier else "estoi"
-pick = max(pool, key=lambda k: d(pool[k], key))
+pick = max(pool, key=lambda k: (d(pool[k], "sisdr") if best_tier
+                                else score(pool[k])))
 n = int(pick.split("_")[0][1:])
 sf = int(pick.split("_s")[1]) / (10.0 if len(pick.split("_s")[1]) < 3 else 100.0)
 flag = {2: "FLAGSHIP_MET", 1: "FLAGSHIP_PARTIAL", 0: "FLAGSHIP_MISS"}[best_tier]
