@@ -99,3 +99,21 @@ def test_codec_archive_end_to_end(tmp_path):
     # f16 weight storage: outputs agree to ~1e-2 relative
     denom = float(jnp.max(jnp.abs(yo))) + 1e-9
     assert float(jnp.max(jnp.abs(ya - yo))) / denom < 5e-2
+
+    # the product consumer: code_corpus accepts the npz directly
+    code_corpus = importlib.import_module("scripts.code_corpus")
+    src = tmp_path / "corpus"
+    (src / "test").mkdir(parents=True)
+    lines = [f"{p.split(',')[0]},{p.split(',')[1]}" for p in pairs[:2]]
+    (src / "test_pairs.txt").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "coded"
+    code_corpus.main([
+        "--corpus", str(src), "--out", str(out), "--codec-ckpt", npz,
+        "--nq", "2", "--batch", "2", "--splits", "test",
+    ])
+    coded_pairs = (out / "test_pairs.txt").read_text().splitlines()
+    assert len(coded_pairs) == 2
+    from flowdec_tpu.data.wavio import read_wav
+
+    wav, sr_out = read_wav(coded_pairs[0].split(",")[1])
+    assert sr_out == cfg_a.sampling_rate and wav.size > 0
