@@ -88,7 +88,9 @@ run_stage_soft postfilter30k 16200 python train.py \
   trainer_options.max_steps=30000 "dirs.checkpoint_dir=$CKPTS/" \
   "dirs.logger_save_dir=$W4/runs/" trainer_options.hang_timeout=1800
 get_step() {
-  python - "$1" <<'EOF'
+  # CPU-only: a helper jax client attaching to a wedged axon tunnel hangs
+  # forever and would strand the chain between stages
+  env JAX_PLATFORMS=cpu timeout 300 python - "$1" <<'EOF'
 import sys
 from flowdec_tpu.train.checkpoints import CheckpointManager
 m = CheckpointManager(sys.argv[1]); print(m.latest_step() or 0); m.close()
