@@ -82,10 +82,22 @@ if [ ! -s "$NDAC2/test_big_pairs.txt" ]; then
 fi
 
 # ---- S2: postfilter continuation 9k → 30k (auto-resumes from last/) --------
-run_stage_soft postfilter30k 16200 python train.py \
+# Adaptive target: a tunnel outage can eat hours, and losing the sweep/
+# distill/finetune/AB stages to a fixed 30k budget would cost more evidence
+# than the marginal steps buy. Budget the downstream stages (~5.6 h), spend
+# what remains on training at the measured 1.72 steps/s effective rate.
+NOW=$(date +%s)
+DOWNSTREAM=20700
+TRAIN_S=$(( ${DEADLINE_TS:-$((NOW + 36000))} - NOW - DOWNSTREAM ))
+TARGET=$(( 9000 + TRAIN_S * 172 / 100 ))
+[ "$TARGET" -gt 30000 ] && TARGET=30000
+[ "$TARGET" -lt 20000 ] && TARGET=20000
+TRAIN_TMO=$(( (TARGET - 9000) * 100 / 150 + 1800 ))  # slack vs 1.5 steps/s floor
+echo "[chain5] postfilter target=$TARGET steps (train budget ${TRAIN_S}s, tmo ${TRAIN_TMO}s)"
+run_stage_soft postfilter30k "$TRAIN_TMO" python train.py \
   --config-name campaign_synth_25m --run-id ndac25b \
   "corpus_dir=$NDAC2" "model.feature_extractor.beta=$BETA" \
-  trainer_options.max_steps=30000 "dirs.checkpoint_dir=$CKPTS/" \
+  "trainer_options.max_steps=$TARGET" "dirs.checkpoint_dir=$CKPTS/" \
   "dirs.logger_save_dir=$W4/runs/" trainer_options.hang_timeout=1800
 get_step() {
   # CPU-only: a helper jax client attaching to a wedged axon tunnel hangs
@@ -101,15 +113,15 @@ if [ "$STEP" -lt 20000 ]; then
   # one more resume attempt (compile-hang / tunnel-wedge failure mode; the
   # run auto-resumes from last/, so a retry only repeats the lost tail)
   rm -f "$WORK/postfilter30k.done"
-  run_stage_soft postfilter30k 14400 python train.py \
+  run_stage_soft postfilter30k "$TRAIN_TMO" python train.py \
     --config-name campaign_synth_25m --run-id ndac25b \
     "corpus_dir=$NDAC2" "model.feature_extractor.beta=$BETA" \
-    trainer_options.max_steps=30000 "dirs.checkpoint_dir=$CKPTS/" \
+    "trainer_options.max_steps=$TARGET" "dirs.checkpoint_dir=$CKPTS/" \
     "dirs.logger_save_dir=$W4/runs/" trainer_options.hang_timeout=1800
   STEP=$(get_step "$CKPTS/ndac25b")
 fi
 echo "[chain5] postfilter at step $STEP"
-[ "$STEP" -ge 20000 ] || { echo "[chain5] continuation below 20k — abort"; exit 1; }
+[ "$STEP" -ge 19000 ] || { echo "[chain5] continuation below 19k — abort"; exit 1; }
 
 # ---- S3: operating-point sweep at the continued checkpoint (24-file split,
 # no new solver graphs ⇒ warm compiles; sigma_fac is traced) -----------------
