@@ -61,6 +61,7 @@ class HangWatchdog:
         timeout: float = 900.0,
         *,
         first_beat_grace: float | None = None,
+        max_suspend: float | None = None,
         on_hang="abort",
         poll_interval: float | None = None,
     ):
@@ -73,6 +74,15 @@ class HangWatchdog:
         self.first_beat_grace = float(
             first_beat_grace if first_beat_grace is not None else max(timeout, 2400.0)
         )
+        # Suspensions exempt known-long phases, but a device call can wedge
+        # INSIDE one (observed live at r5 step 15075: the async Orbax save of
+        # a cadence checkpoint hung on a dead tunnel while maybe_save sat in
+        # suspended() — the watchdog never fired and the stage burned its
+        # whole wall budget). Bound them: a suspension older than max_suspend
+        # is itself treated as a hang.
+        self.max_suspend = float(
+            max_suspend if max_suspend is not None else max(4 * timeout, 3600.0)
+        )
         self.on_hang = on_hang
         self.poll_interval = float(
             poll_interval if poll_interval is not None else min(5.0, self.timeout / 4)
@@ -81,6 +91,7 @@ class HangWatchdog:
         self._last_beat = time.monotonic()
         self._beats = 0
         self._suspended = 0
+        self._suspend_start = 0.0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.fired = False  # visible to tests / callers after "log" mode
@@ -96,8 +107,11 @@ class HangWatchdog:
     @contextmanager
     def suspended(self):
         """Exempt a known-long phase (validation, checkpoint write) from the
-        timeout. Re-arms with a fresh beat on exit. Reentrant."""
+        timeout — bounded by `max_suspend` (see __init__: hangs happen inside
+        these phases too). Re-arms with a fresh beat on exit. Reentrant."""
         with self._lock:
+            if self._suspended == 0:
+                self._suspend_start = time.monotonic()
             self._suspended += 1
         try:
             yield
@@ -139,15 +153,18 @@ class HangWatchdog:
         while not self._stop.wait(self.poll_interval):
             with self._lock:
                 if self._suspended:
-                    continue
-                idle = time.monotonic() - self._last_beat
-                limit = self.timeout if self._beats else self.first_beat_grace
+                    idle = time.monotonic() - self._suspend_start
+                    limit = self.max_suspend
+                else:
+                    idle = time.monotonic() - self._last_beat
+                    limit = self.timeout if self._beats else self.first_beat_grace
             if idle > limit:
                 self._fire(idle)
                 if self.on_hang == "abort":
                     return  # not reached (process exited) — for "log"/callable
                 with self._lock:  # re-arm instead of firing every poll
                     self._last_beat = time.monotonic()
+                    self._suspend_start = time.monotonic()
 
     def _fire(self, idle: float) -> None:
         self.fired = True

@@ -60,6 +60,20 @@ def test_suspended_exempts_long_phase_then_rearms():
     assert fired
 
 
+def test_suspension_is_bounded_by_max_suspend():
+    """A hang INSIDE a suspended phase must still fire (observed live: an
+    async Orbax checkpoint save wedged on a dead tunnel while maybe_save sat
+    in suspended() — the unbounded watchdog never fired and the stage burned
+    its whole wall budget)."""
+    wd, fired = _make(max_suspend=0.3)
+    with wd:
+        wd.beat()
+        with wd.suspended():
+            time.sleep(0.6)  # "checkpoint write" that never returns
+            assert fired    # fired while still suspended
+    assert fired
+
+
 def test_rearms_in_log_mode_instead_of_spamming():
     wd, fired = _make(timeout=0.1)
     with wd:
