@@ -294,6 +294,15 @@ def main() -> None:
             "metric": "flowdec75m_pipeline_rtf_nfe6_batch1",
             "value": round(rtf6_b1, 2), "unit": "x_realtime",
             "vs_baseline": round(rtf6_b1 / 50.0, 3)}))
+        # NFE-2 (student N=2 euler) full pipeline — the serving point when
+        # two-step distilled quality is preferred over NFE-1
+        rtf_n2 = measure_pipeline_rtf(model_bf16, params, seconds=5.0,
+                                      batch=8, n_steps=2, solver="euler",
+                                      iters=3)
+        print(json.dumps({
+            "metric": "flowdec75m_pipeline_rtf_nfe2_batch8",
+            "value": round(rtf_n2, 2), "unit": "x_realtime",
+            "vs_baseline": round(rtf_n2 / 50.0, 3)}))
         # codec decode-only (codes → waveform), the pipeline's codec share
         rtf_dec = measure_codec_decode_rtf(seconds=10.0)
         print(json.dumps({"metric": "ndac_decode_rtf_10s",
